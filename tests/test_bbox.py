@@ -1,0 +1,97 @@
+"""ops.bbox / ops.crop vs the reference's cv2 contour chain
+(holdout.py:211-273)."""
+
+import cv2
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onestop_tpu.ops.bbox import component_bboxes, connected_components, two_lung_bboxes
+from onestop_tpu.ops.crop import cropper, fuse_lung_crops
+
+
+def _cv2_two_boxes(mask_u8):
+    contours, _ = cv2.findContours(mask_u8, cv2.RETR_TREE, cv2.CHAIN_APPROX_SIMPLE)
+    areas = [cv2.contourArea(c) for c in contours]
+    order = np.argsort(areas)
+    b1 = cv2.boundingRect(contours[order[-1]])
+    b2 = cv2.boundingRect(contours[order[-2]])
+    return b1, b2
+
+
+def _lung_like_mask(rng, h=512, w=512):
+    """Two ellipse blobs, like a binarized lung mask."""
+    mask = np.zeros((h, w), np.uint8)
+    cv2.ellipse(mask, (int(w * 0.3), int(h * 0.5)), (int(w * 0.15), int(h * 0.3)),
+                rng.uniform(-15, 15), 0, 360, 1, -1)
+    cv2.ellipse(mask, (int(w * 0.68), int(h * 0.52)), (int(w * 0.13), int(h * 0.28)),
+                rng.uniform(-15, 15), 0, 360, 1, -1)
+    # small noise blob (third component, must rank below the lungs)
+    cv2.circle(mask, (int(w * 0.5), int(h * 0.1)), 6, 1, -1)
+    return mask
+
+
+def test_cc_label_count(rng):
+    mask = _lung_like_mask(rng)
+    labels = np.asarray(connected_components(jnp.asarray(mask > 0)))
+    n = len(np.unique(labels)) - 1
+    n_ref, _ = cv2.connectedComponents(mask)
+    assert n == n_ref - 1 == 3
+
+
+def test_two_lung_boxes_match_cv2(rng):
+    for _ in range(3):
+        mask = _lung_like_mask(rng)
+        ref1, ref2 = _cv2_two_boxes(mask)
+        b1, b2, _ = two_lung_bboxes(jnp.asarray(mask > 0))
+        got = {tuple(np.asarray(b1)), tuple(np.asarray(b2))}
+        assert got == {tuple(ref1), tuple(ref2)}
+
+
+def test_box_ordering_by_size(rng):
+    mask = _lung_like_mask(rng)
+    labels = connected_components(jnp.asarray(mask > 0))
+    boxes, sizes = component_bboxes(labels, k=3)
+    sizes = np.asarray(sizes)
+    assert sizes[0] >= sizes[1] >= sizes[2] > 0
+
+
+def test_single_component_degenerate():
+    mask = np.zeros((64, 64), bool)
+    mask[10:30, 12:40] = True
+    b1, b2, sizes = two_lung_bboxes(jnp.asarray(mask))
+    assert tuple(np.asarray(b1)) == (12, 10, 28, 20)
+    assert tuple(np.asarray(b1)) == tuple(np.asarray(b2))  # duplicated, not a crash
+
+
+def test_cropper_matches_reference_chain(rng):
+    """Full cropper: binarize -> 2 boxes -> crop -> (125,250) area resize -> hstack."""
+    mask = _lung_like_mask(rng)
+    img01 = mask.astype(np.float64)  # already binary as in the lungs path
+
+    # reference chain with cv2
+    u8 = np.uint8(img01 * 255)
+    (x, y, w, h), (p, q, r, s) = _cv2_two_boxes(u8)
+    c1 = cv2.resize(u8[y:y + h, x:x + w], dsize=(125, 250), interpolation=cv2.INTER_AREA)
+    c2 = cv2.resize(u8[q:q + s, p:p + r], dsize=(125, 250), interpolation=cv2.INTER_AREA)
+    ref = np.concatenate([c1, c2], axis=1).astype(np.float32)
+
+    fused, b1, b2 = cropper(jnp.asarray(img01))
+    got = np.asarray(fused)
+    # cv2 rounds tiles to uint8 before concat; ours stays float — compare to 1 LSB
+    assert got.shape == (250, 250)
+    if tuple(np.asarray(b1)) == (x, y, w, h):
+        assert np.abs(got - ref).max() <= 1.0
+    else:  # our size-ordering may swap equal-area contours; fused halves swap
+        ref_sw = np.concatenate([c2, c1], axis=1).astype(np.float32)
+        assert np.abs(got - ref_sw).max() <= 1.0
+
+
+def test_fuse_lung_crops_traced(rng):
+    img = jnp.asarray(rng.random((512, 512)).astype(np.float32))
+    b1 = jnp.array([50, 60, 150, 300], jnp.int32)
+    b2 = jnp.array([300, 70, 140, 280], jnp.int32)
+    out = fuse_lung_crops(img, b1, b2)
+    assert out.shape == (250, 250)
+    ref1 = cv2.resize(np.asarray(img)[60:360, 50:200], (125, 250), interpolation=cv2.INTER_AREA)
+    np.testing.assert_allclose(np.asarray(out)[:, :125], ref1, atol=1e-4)

@@ -1,0 +1,57 @@
+"""Golden-parity tests: ops.clahe vs cv2.createCLAHE (the reference's
+enhancer, holdout.py:163-194). Target: bit-exact."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onestop_tpu.ops.clahe import clahe, clahe_batch, clahe_enhance_float
+
+
+def _cv2_clahe(img, clip=3.0, grid=(8, 8)):
+    return cv2.createCLAHE(clipLimit=clip, tileGridSize=grid).apply(img)
+
+
+@pytest.mark.parametrize("shape", [(512, 512), (256, 256)])
+@pytest.mark.parametrize("clip", [3.0, 2.0, 40.0])
+def test_bit_exact_uniform_random(rng, shape, clip):
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    ref = _cv2_clahe(img, clip=clip)
+    got = np.asarray(clahe(jnp.asarray(img), clip_limit=clip))
+    assert np.array_equal(got, ref), f"maxdiff={np.abs(got.astype(int)-ref.astype(int)).max()}"
+
+
+def test_bit_exact_ct_like(rng):
+    """Smooth, low-dynamic-range content like a windowed CT slice."""
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32) / 512.0
+    base = 0.4 * np.exp(-((yy - 0.5) ** 2 + (xx - 0.35) ** 2) * 8) + 0.2 * xx
+    img = np.clip((base + 0.05 * rng.random((512, 512))) * 255, 0, 255).astype(np.uint8)
+    ref = _cv2_clahe(img)
+    got = np.asarray(clahe(jnp.asarray(img)))
+    assert np.array_equal(got, ref)
+
+
+def test_bit_exact_nondivisible(rng):
+    """Non-grid-multiple size exercises the REFLECT_101 padding path."""
+    img = rng.integers(0, 256, (300, 220), dtype=np.uint8)
+    ref = _cv2_clahe(img)
+    got = np.asarray(clahe(jnp.asarray(img)))
+    assert np.array_equal(got, ref)
+
+
+def test_batch_vmap(rng):
+    imgs = rng.integers(0, 256, (3, 128, 128), dtype=np.uint8)
+    got = np.asarray(clahe_batch(jnp.asarray(imgs)))
+    for i in range(3):
+        assert np.array_equal(got[i], _cv2_clahe(imgs[i]))
+
+
+def test_float_entry_matches_reference_chain(rng):
+    """clahe_enhancer semantics: x*255 -> np.uint8 (truncation) -> CLAHE."""
+    img01 = rng.random((256, 256)).astype(np.float64)
+    u8 = np.uint8(img01 * 255)
+    ref = _cv2_clahe(u8)
+    got = np.asarray(clahe_enhance_float(jnp.asarray(img01)))
+    assert np.array_equal(got, ref)
