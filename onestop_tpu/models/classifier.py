@@ -1,0 +1,38 @@
+"""Classifier CNN with the reference's exact topology (``task2:747-780``):
+3 stages of [Conv3×3 relu he_normal → BN] ×2 → MaxPool at 16/32/64 filters,
+then Flatten → Dense 32 relu → Dropout .4 → Dense 1 sigmoid.
+1,678,385 total params at (224, 224, 1) — asserted in tests (task2 notebook
+cell 73)."""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from onestop_tpu.models.common import batch_norm, glorot_uniform, he_normal
+
+
+class ClassifierCNN(nn.Module):
+    widths: Sequence[int] = (16, 32, 64)
+    dense: int = 32
+    dropout: float = 0.4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype)
+        for i, w in enumerate(self.widths):
+            for j in range(2):
+                x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
+                            dtype=self.dtype, name=f"s{i}_conv{j}")(x)
+                x = nn.relu(x)
+                x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}")(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(self.dense, kernel_init=glorot_uniform(),
+                             dtype=self.dtype, name="fc0")(x))
+        x = nn.Dropout(self.dropout, deterministic=not train, name="fc_drop")(x)
+        x = nn.Dense(1, kernel_init=glorot_uniform(), dtype=self.dtype, name="fc1")(x)
+        return nn.sigmoid(x.astype(jnp.float32))
