@@ -1,0 +1,91 @@
+"""Headline benchmark: fused preproc (CLAHE + two-lung crop) + U-Net
+inference throughput on one TPU chip.
+
+Pipeline per slice (the production chain, ``onestop_tpu.ops.pipeline``):
+512x512 uint8 raw slice -> Pallas tile-histogram CLAHE -> dynamic two-lung
+crop-resize (MXU matmuls) to 256x256 -> /255 -> reference-topology U-Net
+(bfloat16) -> sigmoid -> threshold.
+
+Prints ONE JSON line; vs_baseline is against the 5,000 slices/sec/chip
+target from BASELINE.json (the reference publishes no throughput numbers at
+all — its preprocessing is a per-slice OpenCV host loop).
+
+Usage: python bench.py [--batch 64] [--iters 20] [--no-preproc]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# persistent compile cache: first compile through the remote-TPU tunnel is
+# minutes; cached reruns are seconds
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--out-hw", type=int, default=256)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from onestop_tpu.models import UNet
+    from onestop_tpu.ops.pipeline import fused_infer
+
+    backend = jax.default_backend()
+    interpret = backend == "cpu"
+    b = args.batch
+
+    # Timing protocol, shaped by this environment's remote-TPU tunnel where
+    # `block_until_ready` can return before remote completion and full output
+    # fetches cost ~300 ms of tunnel transfer: dispatch `iters` batches on
+    # DISTINCT input buffers, then force + verify each execution by fetching
+    # one pixel of every output (cheap RPCs). Device compute serializes
+    # in-order on the single chip, so the span covers all real work.
+    rng = np.random.default_rng(0)
+    bufs = [jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (b, 512, 512), dtype=np.uint8))) for _ in range(args.iters)]
+    # plausible lung boxes (the production chain takes them from the task3
+    # lung model; their values don't change the FLOP count)
+    b1_d = jax.device_put(jnp.tile(jnp.array([60, 80, 170, 330], jnp.int32), (b, 1)))
+    b2_d = jax.device_put(jnp.tile(jnp.array([280, 90, 160, 320], jnp.int32), (b, 1)))
+
+    model = UNet(dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, args.out_hw, args.out_hw, 1)), train=False)
+
+    def run(x):
+        return fused_infer(model, variables, x, b1_d, b2_d,
+                           out_hw=(args.out_hw, args.out_hw),
+                           threshold=0.5, interpret=interpret)
+
+    out = run(bufs[0])
+    _ = np.asarray(out[:1, :1, :1])  # warm compile + drain
+
+    t0 = time.perf_counter()
+    outs = [run(x) for x in bufs]
+    checks = [np.asarray(o[:1, :1, :1, :]).sum() for o in outs]  # forces every execution
+    dt = time.perf_counter() - t0
+    assert all(np.isfinite(c) for c in checks)
+
+    slices_per_sec = b * args.iters / dt
+    print(json.dumps({
+        "metric": f"fused_preproc+unet_infer_{args.out_hw}px",
+        "value": round(slices_per_sec, 1),
+        "unit": "slices/sec/chip",
+        "vs_baseline": round(slices_per_sec / 5000.0, 4),
+        "backend": backend,
+        "batch": b,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""Text-menu CLI over the six runners — the reference's ``Scripts/app.py``
+dispatcher (menu tokens 'one'…'six', ``app.py:7-57``), plus non-interactive
+flags. Run: ``python -m onestop_tpu.app [token] [--data-dir D] [--out-dir O]
+[--small-run]``."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from onestop_tpu.runners import RUNNERS
+
+_MENU = """
+Which task would you like to run?
+  one   : Task1 — 3-fold CV U-Net infection segmentation
+  two   : Task1 — 4-fold CV U-Net infection segmentation
+  three : Task1 — holdout U-Net infection segmentation (full preprocessing)
+  four  : Task1 — holdout U-Net++ infection segmentation
+  five  : Task2 — COVID-19 slice classification CNN
+  six   : Task3 — lung segmentation U-Net
+"""
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="onestop_tpu task runner")
+    parser.add_argument("task", nargs="?", choices=sorted(RUNNERS),
+                        help="menu token (prompts interactively if omitted)")
+    parser.add_argument("--data-dir", default=None,
+                        help="Kaggle covid19-ct-scans directory (synthetic data if omitted)")
+    parser.add_argument("--out-dir", default="artifacts")
+    parser.add_argument("--small-run", action="store_true",
+                        help="tiny synthetic smoke configuration")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    token = args.task
+    while token not in RUNNERS:
+        print(_MENU)
+        token = input("Enter choice: ").strip().lower()
+        if token in ("q", "quit", "exit"):
+            return 0
+        if token not in RUNNERS:
+            print(f"Unknown choice {token!r} — expected one of {sorted(RUNNERS)}")
+
+    runner = RUNNERS[token]
+    print(f"Running {runner.__name__} ...")
+    results = runner(data_dir=args.data_dir, out_dir=args.out_dir,
+                     small_run=args.small_run, verbose=args.verbose)
+    keys = [k for k in ("val_dice", "best_dice", "best_iou", "best_threshold",
+                        "mean_fold_dice", "mean_fold_iou", "auc", "train_seconds")
+            if k in results]
+    for k in keys:
+        print(f"  {k}: {results[k]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,148 @@
+"""Loss family with Keras-parity semantics (ref ``holdout.py:784-847``,
+classification metrics ``task2:688-703``).
+
+All functions take probabilities (the models end in sigmoid, as the
+reference's do) and accept an optional per-sample ``weights`` vector so a
+padded final batch reproduces Keras's variable last-batch behavior exactly
+(Keras runs a smaller final batch; we run a fixed-shape batch with zero
+weights on the padding — same arithmetic, static shapes).
+
+Numerics: K.epsilon() == 1e-7; binary_crossentropy clips probabilities to
+[eps, 1-eps] like Keras's prob->logit path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPSILON = 1e-7  # Keras K.epsilon()
+Array = jax.Array
+
+
+def _sample_weights(y_true: Array, weights: Array | None) -> Array:
+    if weights is None:
+        return jnp.ones((y_true.shape[0],), jnp.float32)
+    return weights.astype(jnp.float32)
+
+
+def _broadcast(w: Array, ndim: int) -> Array:
+    return w.reshape((-1,) + (1,) * (ndim - 1))
+
+
+def binary_crossentropy(y_true: Array, y_pred: Array, weights: Array | None = None) -> Array:
+    """Mean elementwise BCE on clipped probabilities (Keras semantics)."""
+    p = jnp.clip(y_pred, EPSILON, 1.0 - EPSILON)
+    ce = -(y_true * jnp.log(p) + (1.0 - y_true) * jnp.log(1.0 - p))
+    w = _broadcast(_sample_weights(y_true, weights), y_true.ndim)
+    per_elem = jnp.ones_like(ce) * w
+    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(per_elem), EPSILON)
+
+
+def dice_coeff(y_true: Array, y_pred: Array, weights: Array | None = None, smooth: float = 1.0) -> Array:
+    """Soft dice over the whole (weighted) batch, smooth=1 (ref :784-790)."""
+    w = _broadcast(_sample_weights(y_true, weights), y_true.ndim)
+    t = (y_true * w).astype(jnp.float32)
+    p = (y_pred * w).astype(jnp.float32)
+    intersection = jnp.sum(t * y_pred)
+    return (2.0 * intersection + smooth) / (jnp.sum(t) + jnp.sum(p) + smooth)
+
+
+def dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None) -> Array:
+    return 1.0 - dice_coeff(y_true, y_pred, weights)
+
+
+def bce_dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None) -> Array:
+    """0.5·BCE + 0.5·dice_loss (ref :797-799) — the segmentation loss."""
+    return 0.5 * binary_crossentropy(y_true, y_pred, weights) + 0.5 * dice_loss(y_true, y_pred, weights)
+
+
+def tversky_loss(y_true: Array, y_pred: Array, alpha: float = 0.5, beta: float = 0.5) -> Array:
+    """Tversky over spatial+batch axes per channel, Ncl - sum(T) (ref :801-817)."""
+    p0, g0 = y_pred, y_true
+    p1, g1 = 1.0 - y_pred, 1.0 - y_true
+    axes = tuple(range(y_true.ndim - 1))
+    num = jnp.sum(p0 * g0, axes)
+    den = num + alpha * jnp.sum(p0 * g1, axes) + beta * jnp.sum(p1 * g0, axes)
+    t = jnp.sum(num / den)
+    ncl = jnp.asarray(y_true.shape[-1], jnp.float32)
+    return ncl - t
+
+
+def weighted_bce_loss(y_true: Array, y_pred: Array, weight: Array) -> Array:
+    """Logit-space numerically-stable weighted BCE (ref :819-825)."""
+    p = jnp.clip(y_pred, EPSILON, 1.0 - EPSILON)
+    logit = jnp.log(p / (1.0 - p))
+    loss = weight * (
+        logit * (1.0 - y_true)
+        + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+        + jnp.maximum(-logit, 0.0)
+    )
+    return jnp.sum(loss) / jnp.sum(weight)
+
+
+def weighted_dice_loss(y_true: Array, y_pred: Array, weight: Array, smooth: float = 1.0) -> Array:
+    """(ref :827-833)"""
+    intersection = y_true * y_pred
+    score = (2.0 * jnp.sum(weight * intersection) + smooth) / (
+        jnp.sum(weight * y_true) + jnp.sum(weight * y_pred) + smooth
+    )
+    return 1.0 - score
+
+
+def weighted_bce_dice_loss(y_true: Array, y_pred: Array) -> Array:
+    """Boundary-weighted BCE-dice: weight map from a 50×50 same-padded
+    average pool of the target (ref :835-847). NHWC input."""
+    y_true = y_true.astype(jnp.float32)
+    y_pred = y_pred.astype(jnp.float32)
+    pooled = jax.lax.reduce_window(
+        y_true, 0.0, jax.lax.add, (1, 50, 50, 1), (1, 1, 1, 1), "SAME"
+    )
+    counts = jax.lax.reduce_window(
+        jnp.ones_like(y_true), 0.0, jax.lax.add, (1, 50, 50, 1), (1, 1, 1, 1), "SAME"
+    )
+    averaged = pooled / counts
+    weight = jnp.ones_like(averaged)
+    w0 = jnp.sum(weight)
+    weight = 5.0 * jnp.exp(-5.0 * jnp.abs(averaged - 0.5))
+    weight = weight * (w0 / jnp.sum(weight))
+    return 0.5 * weighted_bce_loss(y_true, y_pred, weight) + 0.5 * dice_loss(y_true, y_pred)
+
+
+# --- classification metrics (batchwise, K.round/K.clip semantics) ----------
+
+def recall_metric(y_true: Array, y_pred: Array) -> Array:
+    tp = jnp.sum(jnp.round(jnp.clip(y_true * y_pred, 0, 1)))
+    possible = jnp.sum(jnp.round(jnp.clip(y_true, 0, 1)))
+    return tp / (possible + EPSILON)
+
+
+def precision_metric(y_true: Array, y_pred: Array) -> Array:
+    tp = jnp.sum(jnp.round(jnp.clip(y_true * y_pred, 0, 1)))
+    predicted = jnp.sum(jnp.round(jnp.clip(y_pred, 0, 1)))
+    return tp / (predicted + EPSILON)
+
+
+def f1_metric(y_true: Array, y_pred: Array) -> Array:
+    p = precision_metric(y_true, y_pred)
+    r = recall_metric(y_true, y_pred)
+    return 2.0 * (p * r) / (p + r + EPSILON)
+
+
+def balanced_class_weights(y: Array) -> Array:
+    """sklearn class_weight='balanced': n / (n_classes * bincount)
+    (ref task2:801-804). Returns (w_neg, w_pos)."""
+    y = jnp.asarray(y).astype(jnp.int32).ravel()
+    n = y.shape[0]
+    pos = jnp.sum(y)
+    neg = n - pos
+    return jnp.stack([n / (2.0 * neg), n / (2.0 * pos)])
+
+
+LOSSES = {
+    "bce_dice": bce_dice_loss,
+    "bce": binary_crossentropy,
+    "dice": dice_loss,
+    "tversky": tversky_loss,
+    "weighted_bce_dice": weighted_bce_dice_loss,
+}

@@ -1,0 +1,64 @@
+"""Fused serving pipeline: raw CT slice batch -> CLAHE -> two-lung crop ->
+model-resolution tensor -> U-Net probabilities -> thresholded masks, one jit
+program end to end.
+
+This is the production path the reference never wires together (its
+preprocessing is a per-slice OpenCV loop feeding a separate Keras predict —
+SURVEY.md §3 hot loops (2)/(3)). On TPU the whole chain is a single XLA
+program: the Pallas histogram kernel feeds LUT finalize (MXU matmul), the
+gather-based LUT apply fuses with the dynamic crop-resize matmuls, and the
+U-Net runs in bfloat16 on the MXU. The headline benchmark (BASELINE.json:
+>=5,000 256^2 slices/sec/chip) drives exactly this function.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from onestop_tpu.ops.clahe_pallas import clahe_fused
+from onestop_tpu.ops.crop import fuse_lung_crops
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("model", "out_hw", "threshold", "interpret"))
+def fused_infer(
+    model,
+    variables,
+    imgs_u8: Array,          # (B, H, W) uint8 raw windowed/normalized slices ×255
+    boxes1: Array,           # (B, 4) int32 lung 1 (x, y, w, h)
+    boxes2: Array,           # (B, 4) int32 lung 2
+    out_hw: tuple[int, int] = (256, 256),
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+):
+    """Full preproc + inference. Returns (B, out_h, out_w, 1) masks
+    (bool if threshold given, else probabilities)."""
+    enhanced = clahe_fused(imgs_u8, interpret=interpret)  # (B, H, W) uint8
+
+    tile_hw = (out_hw[0], out_hw[1] // 2)
+
+    def crop_one(img, b1, b2):
+        return fuse_lung_crops(img.astype(jnp.float32), b1, b2, tile_hw)
+
+    crops = jax.vmap(crop_one)(enhanced, boxes1, boxes2)   # (B, oh, ow)
+    x = (crops / 255.0)[..., None]                          # (B, oh, ow, 1)
+    probs = model.apply(variables, x, train=False)
+    if threshold is None:
+        return probs
+    return probs > threshold
+
+
+def lung_boxes_batch(masks01: Array) -> tuple[Array, Array]:
+    """Batched two-lung bbox extraction from binarized lung masks (the task3
+    model's output feeds this in the full production chain)."""
+    from onestop_tpu.ops.bbox import two_lung_bboxes
+
+    def one(m):
+        b1, b2, _ = two_lung_bboxes(m > 0)
+        return b1, b2
+
+    return jax.vmap(one)(masks01)

@@ -1,0 +1,299 @@
+"""Fold-parallel cross-validation.
+
+The reference's K-fold loop trains folds *sequentially* and, by reusing one
+Keras model object, leaks fold N-1's weights into fold N
+(``task1_crossval_3folds_unet.py:1005-1046``; SURVEY.md §8 Q5). Here every
+fold is a slot on the mesh 'fold' axis:
+
+- per-fold parameters/optimizer state are stacked on a leading fold axis and
+  sharded over the mesh ('fold'),
+- the training data lives replicated; each fold gathers its own permuted
+  batch indices, so folds with different train sizes are rectangularized
+  with zero-weight padding,
+- unequal per-fold epoch budgets (3-fold trains 80/20/20 — SURVEY.md §8 Q9)
+  are handled with an ``active`` mask: inactive folds compute but discard
+  updates (no-op steps), keeping every device in lockstep,
+- weight leakage is *fixed*: every fold starts from a fresh init
+  (identical init across folds by default for comparability).
+
+All cross-fold independence is expressed to XLA purely through shardings;
+no hand-written collectives are needed on this axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from onestop_tpu import losses as L
+from onestop_tpu.config import TrainConfig
+from onestop_tpu.train.schedules import schedule_from_config
+from onestop_tpu.train.trainer import TrainState, make_adam, _pad_batches
+from onestop_tpu.parallel.mesh import fold_pspec
+
+
+class FoldParallelTrainer:
+    """vmapped-over-folds version of ``train.Trainer``."""
+
+    def __init__(self, model, cfg: TrainConfig, n_folds: int, loss: str | Callable | None = None,
+                 mesh=None):
+        self.model = model
+        self.cfg = cfg
+        self.n_folds = n_folds
+        self.mesh = mesh
+        loss = loss if loss is not None else cfg.loss
+        self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
+        self.tx = make_adam(cfg)
+        self._build()
+
+    def init_states(self, rng, input_shape, same_init: bool = True) -> TrainState:
+        """Fold-stacked TrainState. same_init=True gives every fold the same
+        fresh initialization (fixes reference weight leakage while keeping
+        folds comparable); False uses per-fold seeds."""
+        def one(key):
+            variables = self.model.init(
+                {"params": key}, jnp.zeros((1,) + tuple(input_shape), jnp.float32), train=False
+            )
+            params = variables["params"]
+            return TrainState(
+                params=params,
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.tx.init(params),
+                step=jnp.zeros((), jnp.int32),
+            )
+
+        keys = (jnp.stack([rng] * self.n_folds)
+                if same_init else jax.random.split(rng, self.n_folds))
+        states = jax.vmap(one)(keys)
+        if self.mesh is not None:
+            states = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(self.mesh, fold_pspec(a.ndim))
+                ),
+                states,
+            )
+        return states
+
+    def _build(self):
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+
+        def fold_epoch(params, batch_stats, opt_state, x, y, idx_grid, w_grid, keys, lr, active):
+            """One fold's epoch: scan over steps. active gates the update."""
+
+            def step(carry, xs):
+                p, bs_, opt = carry
+                idx, wb, key = xs
+                xb = x[idx]
+                yb = y[idx]
+
+                def loss_of(pp):
+                    probs, mut = model.apply(
+                        {"params": pp, "batch_stats": bs_}, xb, train=True,
+                        mutable=["batch_stats"], rngs={"dropout": key},
+                    )
+                    l = loss_fn(yb, probs, weights=wb)
+                    m = L.dice_coeff(yb * L._broadcast(wb, yb.ndim),
+                                     probs * L._broadcast(wb, probs.ndim))
+                    return l, (mut["batch_stats"], m)
+
+                (l, (new_bs, m)), grads = jax.value_and_grad(loss_of, has_aux=True)(p)
+                updates, new_opt = tx.update(grads, opt, p)
+                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+                new_p = optax.apply_updates(p, updates)
+                sel = lambda n, o: jnp.where(active, n, o)
+                p = jax.tree_util.tree_map(sel, new_p, p)
+                bs_ = jax.tree_util.tree_map(sel, new_bs, bs_)
+                opt = jax.tree_util.tree_map(sel, new_opt, opt)
+                return (p, bs_, opt), (l, m, jnp.sum(wb))
+
+            (params, batch_stats, opt_state), (ls, ms, ws) = jax.lax.scan(
+                step, (params, batch_stats, opt_state), (idx_grid, w_grid, keys)
+            )
+            wsum = jnp.maximum(jnp.sum(ws), 1.0)
+            return params, batch_stats, opt_state, jnp.sum(ls * ws) / wsum, jnp.sum(ms * ws) / wsum
+
+        def epoch_core(states: TrainState, x, y, idx, w, keys, lr, active):
+            params, batch_stats, opt_state, loss, dice = jax.vmap(
+                fold_epoch, in_axes=(0, 0, 0, None, None, 0, 0, 0, None, 0)
+            )(states.params, states.batch_stats, states.opt_state,
+              x, y, idx, w, keys, lr, active)
+            return (
+                TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state, step=states.step + idx.shape[1]),
+                loss, dice,
+            )
+
+        if self.mesh is not None:
+            # shard_map over the fold axis: each device group compiles a plain
+            # (ungrouped) conv for its local folds. A bare vmap+jit would
+            # lower fold-stacked convs to feature_group convolutions, which
+            # GSPMD cannot partition on the group dimension.
+            from jax.sharding import PartitionSpec as P
+            fold = P("fold")
+            repl = P()
+            epoch_core = jax.shard_map(
+                epoch_core, mesh=self.mesh,
+                in_specs=(fold, repl, repl, fold, fold, fold, repl, fold),
+                out_specs=(fold, fold, fold),
+                check_vma=False,
+            )
+
+        def fold_eval(params, batch_stats, x, y, idx_grid, w_grid):
+            def step(_, xs):
+                idx, wb = xs
+                probs = model.apply({"params": params, "batch_stats": batch_stats},
+                                    x[idx], train=False)
+                l = loss_fn(y[idx], probs, weights=wb)
+                m = L.dice_coeff(y[idx] * L._broadcast(wb, y[idx].ndim),
+                                 probs * L._broadcast(wb, probs.ndim))
+                return None, (l, m, jnp.sum(wb))
+            _, (ls, ms, ws) = jax.lax.scan(step, None, (idx_grid, w_grid))
+            wsum = jnp.maximum(jnp.sum(ws), 1.0)
+            return jnp.sum(ls * ws) / wsum, jnp.sum(ms * ws) / wsum
+
+        def eval_core(states: TrainState, x, y, idx, w):
+            return jax.vmap(fold_eval, in_axes=(0, 0, None, None, 0, 0))(
+                states.params, states.batch_stats, x, y, idx, w
+            )
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            fold = P("fold")
+            repl = P()
+            eval_core = jax.shard_map(
+                eval_core, mesh=self.mesh,
+                in_specs=(fold, repl, repl, fold, fold),
+                out_specs=(fold, fold),
+                check_vma=False,
+            )
+
+        self._epoch_fn = jax.jit(epoch_core)
+        self._eval_fn = jax.jit(eval_core)
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _rectangular_grids(fold_indices, batch_size, rng_perms=None):
+        """Pad each fold's index list to a common (steps, batch) grid with
+        zero-weight slots."""
+        max_n = max(len(ix) for ix in fold_indices)
+        steps, _ = _pad_batches(max_n, batch_size)
+        total = steps * batch_size
+        idx = np.zeros((len(fold_indices), steps, batch_size), np.int64)
+        w = np.zeros((len(fold_indices), steps, batch_size), np.float32)
+        for f, ix in enumerate(fold_indices):
+            ix = np.asarray(ix)
+            if rng_perms is not None:
+                ix = ix[rng_perms[f] % len(ix)][: len(ix)]
+            pad = total - len(ix)
+            flat = np.concatenate([ix, np.zeros(pad, np.int64)])
+            idx[f] = flat.reshape(steps, batch_size)
+            w[f] = np.concatenate([np.ones(len(ix), np.float32),
+                                   np.zeros(pad, np.float32)]).reshape(steps, batch_size)
+        return jnp.asarray(idx), jnp.asarray(w)
+
+    def fit(self, states: TrainState, x, y, folds, epochs_per_fold=None, verbose=False):
+        """Train all folds in parallel.
+
+        folds: list of (train_idx, val_idx). epochs_per_fold: per-fold epoch
+        budget (default cfg.epochs for all). Returns (states, history, best)
+        where history arrays have shape (epochs, n_folds) and best tracks the
+        max-val-dice snapshot per fold."""
+        cfg = self.cfg
+        F = self.n_folds
+        assert len(folds) == F
+        budgets = list(epochs_per_fold or [cfg.epochs] * F)
+        total_epochs = max(budgets)
+        lr_of = schedule_from_config(cfg)
+
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        val_idx, val_w = self._rectangular_grids([v for _, v in folds], cfg.batch_size)
+
+        hist = {k: [] for k in ("loss", "dice", "val_loss", "val_dice", "lr")}
+        best = [{"value": -np.inf, "epoch": -1, "params": None, "batch_stats": None}
+                for _ in range(F)]
+        root = jax.random.PRNGKey(cfg.shuffle_seed)
+
+        for epoch in range(total_epochs):
+            ekey = jax.random.fold_in(root, epoch)
+            perms = []
+            for f, (tr, _) in enumerate(folds):
+                fkey = jax.random.fold_in(ekey, f)
+                perms.append(np.asarray(jax.random.permutation(fkey, len(tr))))
+            shuffled = [np.asarray(tr)[perms[f]] for f, (tr, _) in enumerate(folds)]
+            idx, w = self._rectangular_grids(shuffled, cfg.batch_size)
+            steps = idx.shape[1]
+            keys = jnp.stack([
+                jax.random.split(jax.random.fold_in(ekey, 1000 + f), steps)
+                for f in range(F)
+            ])
+            active = jnp.asarray([epoch < b for b in budgets])
+            lr = jnp.float32(lr_of(epoch))
+
+            states, loss, dice = self._epoch_fn(states, x, y, idx, w, keys, lr, active)
+            vl, vd = self._eval_fn(states, x, y, val_idx, val_w)
+            loss, dice, vl, vd = (np.asarray(a) for a in (loss, dice, vl, vd))
+            hist["loss"].append(loss)
+            hist["dice"].append(dice)
+            hist["val_loss"].append(vl)
+            hist["val_dice"].append(vd)
+            hist["lr"].append(float(lr))
+
+            host_state = None
+            for f in range(F):
+                if epoch < budgets[f] and vd[f] > best[f]["value"]:
+                    if host_state is None:
+                        host_state = jax.device_get(states)
+                    best[f] = {
+                        "value": float(vd[f]), "epoch": epoch,
+                        "params": jax.tree_util.tree_map(lambda a: a[f], host_state.params),
+                        "batch_stats": jax.tree_util.tree_map(lambda a: a[f], host_state.batch_stats),
+                    }
+            if verbose:
+                print(f"epoch {epoch + 1}/{total_epochs} "
+                      f"val_dice={np.array2string(vd, precision=4)} active={np.asarray(active)}")
+
+        hist = {k: np.asarray(v) for k, v in hist.items()}
+        return states, hist, best
+
+    def predict_fold(self, fold_params, fold_batch_stats, x, batch_size=None) -> np.ndarray:
+        bs = batch_size or self.cfg.batch_size
+        n = len(x)
+        steps, pad = _pad_batches(n, bs)
+        xp = jnp.concatenate([jnp.asarray(x), jnp.zeros((pad,) + x.shape[1:], jnp.float32)])
+        xp = xp.reshape((steps, bs) + x.shape[1:])
+        def step(_, xb):
+            return None, self.model.apply(
+                {"params": fold_params, "batch_stats": fold_batch_stats}, xb, train=False)
+        _, out = jax.lax.scan(step, None, xp)
+        return np.asarray(out.reshape((steps * bs,) + out.shape[2:])[:n])
+
+
+def cross_validate(model, cfg: TrainConfig, x, y, folds, mesh=None,
+                   epochs_per_fold=None, init_rng=None, verbose=False):
+    """Convenience wrapper: fold-parallel training + per-fold best snapshots.
+
+    With a mesh, the fold count is padded to a multiple of the mesh's fold
+    axis with zero-epoch dummy folds (shard_map needs an even split); padded
+    history/best entries are dropped before returning."""
+    F = len(folds)
+    budgets = list(epochs_per_fold or [cfg.epochs] * F)
+    folds = list(folds)
+    if mesh is not None:
+        fold_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("fold", 1)
+        while len(folds) % fold_size:
+            folds.append(folds[0])
+            budgets.append(0)
+    tr = FoldParallelTrainer(model, cfg, n_folds=len(folds), mesh=mesh)
+    rng = init_rng if init_rng is not None else jax.random.PRNGKey(cfg.init_seed)
+    states = tr.init_states(rng, x.shape[1:])
+    states, hist, best = tr.fit(states, x, y, folds,
+                                epochs_per_fold=budgets, verbose=verbose)
+    hist = {k: (v[:, :F] if getattr(v, "ndim", 1) == 2 else v) for k, v in hist.items()}
+    return tr, states, hist, best[:F]

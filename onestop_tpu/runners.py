@@ -1,0 +1,432 @@
+"""The six public runner entry points, names matching the reference scripts
+(SURVEY.md §9 capability contract; one runner per script, ref ``app.py:7-57``):
+
+- ``holdout_runner_unet_infection_segmentation``   (task1_preprocessing_plus_unet)
+- ``three_fold_runner_unet_infection_segmentation`` (task1_crossval_3folds_unet)
+- ``four_fold_runner_unet_infection_segmentation``  (task1_crossval_4folds_unet)
+- ``holdout_runner_unetplusplus_infection_segmentation`` (task1_unet_plus_plus)
+- ``runner_classification``                          (task2_covid19_classifcation)
+- ``runner_lung_segmentation``                       (task3_lung_segmentation_unet)
+
+Each accepts:
+  data       — optional preassembled (x, y) arrays (skips ingestion),
+  data_dir   — directory with the Kaggle covid19-ct-scans layout
+               (metadata.csv + ct_scans/lung_mask/infection_mask .nii files),
+  out_dir    — artifact directory (checkpoints, reports, figures),
+  small_run  — tiny synthetic config for smoke tests / CPU,
+  mesh       — optional jax Mesh for fold-parallel CV / sharded training.
+
+Unlike the reference (one 1,500-line notebook function per task, ~85%
+copy-pasted), the runners are thin orchestration over the shared library.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onestop_tpu import config as C
+from onestop_tpu import losses as L
+from onestop_tpu.data import (
+    build_classification_dataset,
+    build_lung_dataset,
+    build_segmentation_dataset,
+    kfold_indices,
+    load_nifti,
+    load_slices,
+    stratified_shuffle_split_indices,
+    synthetic_dataset,
+    train_test_split_indices,
+)
+from onestop_tpu.metrics.classification import classification_report, roc_curve_points
+from onestop_tpu.metrics.segmentation import grid, sweep_report, threshold_sweep
+from onestop_tpu.models import ClassifierCNN, UNet, UNetPP
+from onestop_tpu.train import Trainer, save_checkpoint
+from onestop_tpu.train.checkpoint import metric_stamped_name
+from onestop_tpu.parallel.cv import cross_validate
+
+
+# ---------------------------------------------------------------------------
+# data acquisition
+# ---------------------------------------------------------------------------
+
+def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
+                        synth_slices=16, seed=0, with_infection=True):
+    """Yield (ct, lung[, infection]) slice stacks per case.
+
+    data_dir: Kaggle layout — metadata.csv with ct_scan/lung_mask/
+    infection_mask columns (ref ``holdout.py:135-137``). Falls back to
+    synthetic phantoms when absent (no network in this environment)."""
+    cfg = cfg or C.PreprocessConfig()
+    if data_dir is not None:
+        import csv
+        meta = Path(data_dir) / "metadata.csv"
+        with open(meta) as f:
+            rows = list(csv.DictReader(f))
+        for row in rows:
+            def _vol(col):
+                p = Path(data_dir) / Path(row[col]).name
+                if not p.exists():
+                    p = Path(data_dir) / row[col]
+                return load_slices(load_nifti(p).get_fdata(), cfg.img_size,
+                                   cfg.slice_lo, cfg.slice_hi)
+            if with_infection:
+                yield (_vol("ct_scan"), _vol("lung_mask"), _vol("infection_mask"))
+            else:
+                yield (_vol("ct_scan"), _vol("lung_mask"))
+    else:
+        for case in synthetic_dataset(n_cases=n_synthetic, hw=synth_hw,
+                                      n_slices=synth_slices, seed=seed):
+            ct = load_slices(case.ct, cfg.img_size, cfg.slice_lo, cfg.slice_hi)
+            lung = load_slices(case.lung_mask, cfg.img_size, cfg.slice_lo, cfg.slice_hi)
+            if with_infection:
+                inf = load_slices(case.infection_mask, cfg.img_size,
+                                  cfg.slice_lo, cfg.slice_hi)
+                yield (ct, lung, inf)
+            else:
+                yield (ct, lung)
+
+
+def _small(task_cfg: C.TaskConfig, epochs: int) -> C.TaskConfig:
+    """Shrink a task config for smoke runs."""
+    return dataclasses.replace(
+        task_cfg,
+        preprocess=dataclasses.replace(task_cfg.preprocess, img_size=128, new_dim=64),
+        model=dataclasses.replace(task_cfg.model, in_size=64,
+                                  unet_widths=(8, 16), unet_bridge=32,
+                                  unetpp_widths=(8, 16, 32, 64),
+                                  cls_widths=(4, 8, 16), cls_dense=8),
+        train=dataclasses.replace(task_cfg.train, epochs=epochs, batch_size=8),
+    )
+
+
+def _out(out_dir) -> Path:
+    p = Path(out_dir if out_dir is not None else "artifacts")
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _save_json(path: Path, obj):
+    def clean(o):
+        if isinstance(o, dict):
+            return {str(k): clean(v) for k, v in o.items()}
+        if isinstance(o, (list, tuple)):
+            return [clean(v) for v in o]
+        if isinstance(o, (np.floating, np.integer)):
+            return o.item()
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        return o
+    path.write_text(json.dumps(clean(obj), indent=2))
+
+
+# ---------------------------------------------------------------------------
+# shared segmentation engine
+# ---------------------------------------------------------------------------
+
+def _build_unet(task_cfg: C.TaskConfig):
+    m = task_cfg.model
+    return UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
+                dropout=m.unet_dropout, dtype=jnp.dtype(m.compute_dtype))
+
+
+def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
+                              name: str, verbose=False):
+    out_dir = _out(out_dir)
+    sp = task_cfg.split
+    tr_idx, te_idx = train_test_split_indices(len(x), sp.test_size, sp.seed)
+    x_train, y_train = x[tr_idx], y[tr_idx]
+    x_val, y_val = x[te_idx], y[te_idx]
+
+    trainer = Trainer(model, task_cfg.train)
+    state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
+    t0 = time.perf_counter()
+    state, history, best = trainer.fit(state, x_train, y_train, x_val, y_val,
+                                       verbose=verbose)
+    train_time = time.perf_counter() - t0
+
+    # restore the best-val-dice snapshot (ModelCheckpoint load, ref :1073)
+    if best["val_dice_coeff"]["params"] is not None:
+        state = dataclasses.replace(
+            state, params=best["val_dice_coeff"]["params"],
+            batch_stats=best["val_dice_coeff"]["batch_stats"])
+
+    probs = trainer.predict(state, x_val)
+    sw = task_cfg.sweep
+    report = sweep_report(y_val, probs, coarse=sw.coarse, fine=sw.fine,
+                          pr_grid=sw.pr_grid,
+                          batch_size=sw.eval_batch_size if sw.batchwise else None)
+    val_loss, val_dice = trainer.evaluate(state, x_val, y_val)
+
+    ckpt = out_dir / metric_stamped_name(name, best["val_dice_coeff"]["value"] or val_dice)
+    save_checkpoint(ckpt, state.params, state.batch_stats,
+                    {"val_dice": val_dice, "val_loss": val_loss,
+                     "best_threshold": report["best_threshold"]})
+    results = {
+        "name": name,
+        "val_dice": val_dice, "val_loss": val_loss,
+        "best_threshold": report["best_threshold"],
+        "best_dice": report["best_dice"], "best_iou": report["best_iou"],
+        "precision_at_best": report["precision_at_best"],
+        "recall_at_best": report["recall_at_best"],
+        "train_seconds": train_time,
+        "checkpoint": str(ckpt),
+        "n_train": len(x_train), "n_val": len(x_val),
+    }
+    _save_json(out_dir / f"{name}_report.json", {**results, "history": history})
+    return {**results, "history": history, "state": state, "trainer": trainer,
+            "sweep": report, "val": (x_val, y_val, probs)}
+
+
+def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
+                         verbose=False):
+    out_dir = _out(out_dir)
+    sp = task_cfg.split
+    folds = kfold_indices(len(x), sp.n_folds, sp.seed)
+    model = _build_unet(task_cfg)
+    t0 = time.perf_counter()
+    tr, states, hist, best = cross_validate(
+        model, task_cfg.train, x, y, folds, mesh=mesh,
+        epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose)
+    train_time = time.perf_counter() - t0
+
+    # per-fold sweeps on the best snapshot (the reference's
+    # fold x threshold x metric recompile loop collapsed to one pass/fold)
+    sw = task_cfg.sweep
+    ths = grid(*sw.cv_grid)
+    tables = {k: np.zeros((len(ths), len(folds))) for k in
+              ("dice", "iou", "precision", "recall")}
+    fold_summaries = []
+    for f, (tr_idx, te_idx) in enumerate(folds):
+        params = best[f]["params"] if best[f]["params"] is not None else \
+            jax.tree_util.tree_map(lambda a: np.asarray(a[f]), jax.device_get(states.params))
+        bstats = best[f]["batch_stats"] if best[f]["batch_stats"] is not None else \
+            jax.tree_util.tree_map(lambda a: np.asarray(a[f]), jax.device_get(states.batch_stats))
+        probs = tr.predict_fold(params, bstats, x[te_idx])
+        res = threshold_sweep(y[te_idx], probs, ths,
+                              batch_size=sw.eval_batch_size if sw.batchwise else None)
+        for k in tables:
+            tables[k][:, f] = res[k]
+        ckpt = out_dir / f"{name}_fold{f + 1}.msgpack"
+        save_checkpoint(ckpt, params, bstats, {"fold": f, "val_dice": best[f]["value"]})
+        fold_summaries.append({
+            "fold": f + 1, "best_val_dice_during_training": best[f]["value"],
+            "best_sweep_dice": float(res["dice"].max()),
+            "best_threshold": float(ths[int(np.argmax(res["dice"]))]),
+            "checkpoint": str(ckpt),
+        })
+
+    # the README's "mean of folds" numbers: max over thresholds per fold, mean
+    summary = {}
+    for k, tab in tables.items():
+        per_fold_max = tab.max(axis=0)
+        summary[f"mean_fold_{k}"] = float(per_fold_max.mean())
+        summary[f"per_fold_max_{k}"] = per_fold_max.tolist()
+        summary[f"best_thresholds_{k}"] = ths[tab.argmax(axis=0)].tolist()
+
+    results = {
+        "name": name, "n_folds": len(folds), **summary,
+        "train_seconds": train_time, "folds": fold_summaries,
+        "thresholds": ths.tolist(),
+        "tables": {k: v.tolist() for k, v in tables.items()},
+    }
+    _save_json(out_dir / f"{name}_report.json", results)
+    return {**results, "history": hist, "states": states, "trainer": tr,
+            "fold_best": best, "data_folds": folds}
+
+
+# ---------------------------------------------------------------------------
+# the six runners
+# ---------------------------------------------------------------------------
+
+def holdout_runner_unet_infection_segmentation(
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
+    cluster_analysis=True, **kw
+):
+    """Task1 holdout U-Net (ref task1_preprocessing_plus_unet_with_comments.py:6),
+    including the latent PCA+KMeans clustering study on the last decoder
+    block's activations (ref holdout.py:1386-1496)."""
+    task_cfg = C.task1_holdout()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
+    if data is None:
+        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
+    else:
+        x, y = data
+    model = _build_unet(task_cfg)
+    res = _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
+                                    "unet_covid_holdout", verbose=verbose)
+    if cluster_analysis:
+        from onestop_tpu.analysis.clustering import latent_cluster_analysis
+        x_val, y_val, _ = res["val"]
+        trainer, state = res["trainer"], res["state"]
+        n_comp = min(1000, len(x_val))  # ref uses PCA(1000)
+        cl = latent_cluster_analysis(
+            model, state.params, state.batch_stats, x_val, y_val,
+            layer_prefix="dec0_conv1", n_components=n_comp,
+            evaluate=lambda xs, ys: dict(zip(("loss", "dice"),
+                                             trainer.evaluate(state, xs, ys))),
+            batch_size=task_cfg.train.batch_size,
+        )
+        res["clustering"] = {k: v for k, v in cl.items() if k != "labels"}
+        res["clustering"]["labels"] = cl["labels"].tolist()
+        _save_json(_out(out_dir) / "unet_covid_holdout_clustering.json",
+                   res["clustering"])
+    return res
+
+
+def three_fold_runner_unet_infection_segmentation(
+    data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
+    verbose=False, **kw
+):
+    """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
+    in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
+    masking."""
+    task_cfg = C.task1_3fold()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=3)
+        task_cfg = dataclasses.replace(
+            task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(3, 2, 2)))
+    if data is None:
+        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
+    else:
+        x, y = data
+    return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
+                                mesh=mesh, verbose=verbose)
+
+
+def four_fold_runner_unet_infection_segmentation(
+    data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
+    verbose=False, **kw
+):
+    """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
+    task_cfg = C.task1_4fold()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=2)
+        task_cfg = dataclasses.replace(
+            task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(2, 2, 2, 2)))
+    if data is None:
+        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
+    else:
+        x, y = data
+    return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",
+                                mesh=mesh, verbose=verbose)
+
+
+def holdout_runner_unetplusplus_infection_segmentation(
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False, **kw
+):
+    """Task1 U-Net++ holdout (ref task1_unet_plus_plus.py:6)."""
+    task_cfg = C.task1_unetpp()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
+    if data is None:
+        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
+    else:
+        x, y = data
+    m = task_cfg.model
+    model = UNetPP(widths=tuple(m.unetpp_widths),
+                   backbone_dropout=m.unetpp_backbone_dropout,
+                   block_dropout=m.unetpp_block_dropout,
+                   dtype=jnp.dtype(m.compute_dtype))
+    return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
+                                     "unetpp_covid_holdout", verbose=verbose)
+
+
+def runner_classification(
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False, **kw
+):
+    """Task2 COVID-19 slice classification (ref task2_covid19_classifcation.py:6):
+    stratified 70/30 split, balanced class weights, AUC tracking (RocCallback
+    equivalent), report at thresholds 0.50/0.81."""
+    task_cfg = C.task2_classification()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 4))
+    out_path = _out(out_dir)
+    if data is None:
+        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+        x, y = build_classification_dataset(triples, task_cfg.preprocess)
+    else:
+        x, y = data
+    y = np.asarray(y).astype(np.float32)
+
+    tr_idx, te_idx = stratified_shuffle_split_indices(y, task_cfg.split.test_size,
+                                                      task_cfg.split.seed)
+    x_train, y_train = x[tr_idx], y[tr_idx][:, None]
+    x_val, y_val = x[te_idx], y[te_idx][:, None]
+
+    m = task_cfg.model
+    model = ClassifierCNN(widths=tuple(m.cls_widths), dense=m.cls_dense,
+                          dropout=m.cls_dropout, dtype=jnp.dtype(m.compute_dtype))
+    trainer = Trainer(model, task_cfg.train, seg_metrics=False)
+    state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
+
+    sw = None
+    if task_cfg.train.use_class_weight:
+        cw = np.asarray(L.balanced_class_weights(jnp.asarray(y_train.ravel())))
+        sw = cw[y_train.ravel().astype(int)]
+
+    t0 = time.perf_counter()
+    state, history, best = trainer.fit(state, x_train, y_train, x_val, y_val,
+                                       sample_weights=sw, track_auc=True,
+                                       verbose=verbose)
+    train_time = time.perf_counter() - t0
+
+    if best["val_auc"]["params"] is not None:  # best_val_auc_weights.h5 parity
+        state = dataclasses.replace(state, params=best["val_auc"]["params"],
+                                    batch_stats=best["val_auc"]["batch_stats"])
+    probs = trainer.predict(state, x_val).ravel()
+    report = classification_report(y_val.ravel(), probs, thresholds=(0.50, 0.81))
+    fpr, tpr, _ = roc_curve_points(y_val.ravel(), probs)
+
+    ckpt = out_path / metric_stamped_name("covid_classifier", report["auc"], "auc")
+    save_checkpoint(ckpt, state.params, state.batch_stats, {"auc": report["auc"]})
+    results = {
+        "name": "covid_classification", "auc": report["auc"],
+        "report": report["at_threshold"],
+        "train_seconds": train_time, "checkpoint": str(ckpt),
+        "n_train": len(x_train), "n_val": len(x_val),
+        "class_balance": [int((y == 0).sum()), int((y == 1).sum())],
+    }
+    _save_json(out_path / "classification_report.json", results)
+    return {**results, "history": history, "state": state, "trainer": trainer,
+            "roc": (fpr, tpr), "val": (x_val, y_val, probs)}
+
+
+def runner_lung_segmentation(
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False, **kw
+):
+    """Task3 lung segmentation U-Net (ref task3_lung_segmentation_unet.py:6) —
+    the minimum end-to-end slice M1 (SURVEY.md §7)."""
+    task_cfg = C.task3_lung()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
+    if data is None:
+        pairs = list(_case_slice_triples(data_dir, task_cfg.preprocess,
+                                         with_infection=False, **kw))
+        x, y = build_lung_dataset(pairs, task_cfg.preprocess)
+    else:
+        x, y = data
+    model = _build_unet(task_cfg)
+    return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
+                                     "unet_lung_segmentation", verbose=verbose)
+
+
+RUNNERS = {
+    "one": three_fold_runner_unet_infection_segmentation,
+    "two": four_fold_runner_unet_infection_segmentation,
+    "three": holdout_runner_unet_infection_segmentation,
+    "four": holdout_runner_unetplusplus_infection_segmentation,
+    "five": runner_classification,
+    "six": runner_lung_segmentation,
+}

@@ -1,0 +1,30 @@
+"""Epoch-level learning-rate schedules (the reference's callback zoo,
+``holdout.py:924-1035``). All return a float lr for an integer epoch, applied
+at epoch begin like Keras's CosineAnnealingScheduler."""
+
+from __future__ import annotations
+
+import math
+
+
+def cosine_annealing_lr(epoch: int, t_max: int = 7, eta_max: float = 5e-4, eta_min: float = 1e-4) -> float:
+    """lr = eta_min + (eta_max-eta_min)(1+cos(pi·epoch/T_max))/2
+    (ref ``holdout.py:981-985``; note no modulo — past T_max the cosine keeps
+    oscillating with period 2·T_max, which is the reference behavior)."""
+    return eta_min + (eta_max - eta_min) * (1 + math.cos(math.pi * epoch / t_max)) / 2
+
+
+def step_decay_lr(epoch: int, initial: float = 8e-4, drop: float = 0.8, epochs_drop: int = 10) -> float:
+    """Exponential step decay (ref ``holdout.py:924-933``; plotting-only there)."""
+    return initial * math.pow(drop, math.floor((1 + epoch) / epochs_drop))
+
+
+def constant_lr(epoch: int, lr: float = 5e-4) -> float:
+    return lr
+
+
+def schedule_from_config(cfg):
+    """TrainConfig -> epoch->lr callable."""
+    if cfg.cosine_annealing:
+        return lambda e: cosine_annealing_lr(e, cfg.cosine_t_max, cfg.cosine_eta_max, cfg.cosine_eta_min)
+    return lambda e: constant_lr(e, cfg.learning_rate)

@@ -1,0 +1,286 @@
+"""Jitted training loop with Keras-parity epoch semantics.
+
+Replaces the reference's ``model.compile(Adam(5e-4), bce_dice_loss,
+[dice_coeff]); model.fit(batch_size=32, epochs=80, ...)``
+(``holdout.py:1041-1061``) with:
+
+- one jitted *epoch* function: ``lax.scan`` over fixed-shape batches,
+  Adam (``optax.scale_by_adam`` with Keras eps=1e-7) scaled by an
+  epoch-level LR (cosine annealing parity with the reference callback),
+- Keras variable-last-batch semantics via zero-weight padding
+  (see ``onestop_tpu.losses``),
+- per-epoch shuffling with ``jax.random.permutation``,
+- History dict + best-metric snapshots (the two ModelCheckpoints of
+  ``holdout.py:1044-1047``), plus an optional AUC tracker mirroring
+  ``RocCallback`` (``task2:706-741``).
+
+Everything is functional: state in a flax struct, donated into the epoch
+step, so the loop runs at device speed with no host round-trips beyond the
+per-epoch metric fetch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from onestop_tpu import losses as L
+from onestop_tpu.config import TrainConfig
+from onestop_tpu.metrics.classification import roc_auc
+from onestop_tpu.train.schedules import schedule_from_config
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _pad_batches(n: int, batch_size: int):
+    """(n_batches, pad) so every epoch is a fixed (n_batches, batch_size) grid."""
+    n_batches = -(-n // batch_size)
+    return n_batches, n_batches * batch_size - n
+
+
+def make_adam(cfg: TrainConfig):
+    return optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps)
+
+
+class Trainer:
+    """Fit a flax model the way the reference fits its Keras models."""
+
+    def __init__(
+        self,
+        model,
+        cfg: TrainConfig,
+        loss: str | Callable | None = None,
+        seg_metrics: bool = True,
+    ):
+        self.model = model
+        self.cfg = cfg
+        loss = loss if loss is not None else cfg.loss
+        self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
+        self.seg_metrics = seg_metrics  # dice for segmentation, f1 for classification
+        self.tx = make_adam(cfg)
+        self._build()
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, rng, input_shape) -> TrainState:
+        variables = self.model.init(
+            {"params": rng}, jnp.zeros((1,) + tuple(input_shape), jnp.float32), train=False
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # -- jitted inner fns ------------------------------------------------------
+
+    def _build(self):
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        metric_fn = L.dice_coeff if self.seg_metrics else L.f1_metric
+
+        def apply_train(params, batch_stats, xb, dropout_key):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                xb, train=True, mutable=["batch_stats"], rngs={"dropout": dropout_key},
+            )
+            return out, mut["batch_stats"]
+
+        def make_train_step(x, y):
+            def train_step(carry, xs):
+                params, batch_stats, opt_state = carry
+                idx, wb, key, lr = xs
+                xb = x[idx]
+                yb = y[idx]
+
+                def loss_of(p):
+                    probs, new_bs = apply_train(p, batch_stats, xb, key)
+                    l = loss_fn(yb, probs, weights=wb)
+                    m = metric_fn(yb * L._broadcast(wb, yb.ndim), probs * L._broadcast(wb, probs.ndim))
+                    return l, (new_bs, m)
+
+                (l, (new_bs, m)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
+                params = optax.apply_updates(params, updates)
+                return (params, new_bs, new_opt), (l, m, jnp.sum(wb))
+            return train_step
+
+        @jax.jit
+        def epoch_fn(state: TrainState, x, y, idx_grid, w_grid, keys, lr):
+            lrs = jnp.full((idx_grid.shape[0],), lr, jnp.float32)
+            (params, batch_stats, opt_state), (ls, ms, ws) = jax.lax.scan(
+                make_train_step(x, y),
+                (state.params, state.batch_stats, state.opt_state),
+                (idx_grid, w_grid, keys, lrs),
+            )
+            wsum = jnp.maximum(jnp.sum(ws), 1.0)
+            loss = jnp.sum(ls * ws) / wsum       # Keras: batch-size-weighted mean
+            metric = jnp.sum(ms * ws) / wsum
+            return (
+                TrainState(params=params, batch_stats=batch_stats,
+                           opt_state=opt_state, step=state.step + idx_grid.shape[0]),
+                loss, metric,
+            )
+
+        @jax.jit
+        def eval_fn(params, batch_stats, idx_grid, w_grid, x, y):
+            def step(_, xs):
+                idx, wb = xs
+                probs = model.apply({"params": params, "batch_stats": batch_stats},
+                                    x[idx], train=False)
+                l = loss_fn(y[idx], probs, weights=wb)
+                m = metric_fn(y[idx] * L._broadcast(wb, y[idx].ndim),
+                              probs * L._broadcast(wb, probs.ndim))
+                return None, (l, m, jnp.sum(wb))
+            _, (ls, ms, ws) = jax.lax.scan(step, None, (idx_grid, w_grid))
+            wsum = jnp.maximum(jnp.sum(ws), 1.0)
+            return jnp.sum(ls * ws) / wsum, jnp.sum(ms * ws) / wsum
+
+        @functools.partial(jax.jit, static_argnames=("batch_size",))
+        def predict_fn(params, batch_stats, x, batch_size=32):
+            n = x.shape[0]
+            n_batches, pad = _pad_batches(n, batch_size)
+            xp = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+            xp = xp.reshape((n_batches, batch_size) + x.shape[1:])
+            def step(_, xb):
+                return None, model.apply({"params": params, "batch_stats": batch_stats},
+                                         xb, train=False)
+            _, out = jax.lax.scan(step, None, xp)
+            return out.reshape((n_batches * batch_size,) + out.shape[2:])[:n]
+
+        self._epoch_fn = epoch_fn
+        self._eval_fn = eval_fn
+        self._predict_fn = predict_fn
+
+    # -- public API ------------------------------------------------------------
+
+    def predict(self, state: TrainState, x) -> np.ndarray:
+        return np.asarray(
+            self._predict_fn(state.params, state.batch_stats, jnp.asarray(x),
+                             batch_size=self.cfg.batch_size)
+        )
+
+    def evaluate(self, state: TrainState, x, y):
+        idx, w = self._eval_grid(len(x))
+        loss, metric = self._eval_fn(state.params, state.batch_stats, idx, w,
+                                     jnp.asarray(x), jnp.asarray(y))
+        return float(loss), float(metric)
+
+    def _eval_grid(self, n):
+        bs = self.cfg.batch_size
+        n_batches, pad = _pad_batches(n, bs)
+        idx = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+        w = np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)])
+        return (jnp.asarray(idx.reshape(n_batches, bs)),
+                jnp.asarray(w.reshape(n_batches, bs)))
+
+    def fit(
+        self,
+        state: TrainState,
+        x_train, y_train,
+        x_val=None, y_val=None,
+        epochs: int | None = None,
+        sample_weights=None,
+        track_auc: bool = False,
+        verbose: bool = False,
+    ):
+        """Returns (final_state, history, best) where ``best`` maps monitor
+        name -> dict(epoch, value, params, batch_stats)."""
+        cfg = self.cfg
+        epochs = epochs if epochs is not None else cfg.epochs
+        lr_of = schedule_from_config(cfg)
+        bs = cfg.batch_size
+        n = len(x_train)
+        n_batches, pad = _pad_batches(n, bs)
+        base_w = np.ones(n, np.float32) if sample_weights is None else np.asarray(sample_weights, np.float32)
+
+        x_train = jnp.asarray(x_train)
+        y_train = jnp.asarray(y_train)
+        has_val = x_val is not None
+        if has_val:
+            x_val = jnp.asarray(x_val)
+            y_val = jnp.asarray(y_val)
+            val_idx, val_w = self._eval_grid(len(x_val))
+
+        history: dict[str, list] = {"loss": [], "metric": [], "lr": []}
+        if has_val:
+            history["val_loss"] = []
+            history["val_metric"] = []
+        if track_auc:
+            history["auc_train"] = []
+            history["auc_val"] = []
+
+        metric_name = "dice_coeff" if self.seg_metrics else "f1"
+        monitors = {f"val_{metric_name}": "max", "val_loss": "min"}
+        if track_auc:
+            monitors["val_auc"] = "max"
+        best = {k: {"value": -np.inf if m == "max" else np.inf, "epoch": -1,
+                    "params": None, "batch_stats": None}
+                for k, m in monitors.items()}
+
+        root = jax.random.PRNGKey(cfg.shuffle_seed)
+        for epoch in range(epochs):
+            ekey = jax.random.fold_in(root, epoch)
+            perm = np.asarray(jax.random.permutation(ekey, n))
+            idx = np.concatenate([perm, np.zeros(pad, np.int64)]).reshape(n_batches, bs)
+            w = np.concatenate([base_w[perm], np.zeros(pad, np.float32)]).reshape(n_batches, bs)
+            keys = jax.random.split(jax.random.fold_in(ekey, 1), n_batches)
+            lr = lr_of(epoch)
+
+            state, loss, metric = self._epoch_fn(
+                state, x_train, y_train, jnp.asarray(idx), jnp.asarray(w), keys, jnp.float32(lr)
+            )
+            history["loss"].append(float(loss))
+            history["metric"].append(float(metric))
+            history["lr"].append(lr)
+
+            epoch_vals = {}
+            if has_val:
+                vl, vm = self._eval_fn(state.params, state.batch_stats,
+                                       val_idx, val_w, x_val, y_val)
+                history["val_loss"].append(float(vl))
+                history["val_metric"].append(float(vm))
+                epoch_vals["val_loss"] = float(vl)
+                epoch_vals[f"val_{metric_name}"] = float(vm)
+            if track_auc and has_val:
+                pt = self.predict(state, x_train)
+                pv = self.predict(state, x_val)
+                a_tr = float(roc_auc(y_train, jnp.asarray(pt)))
+                a_va = float(roc_auc(y_val, jnp.asarray(pv)))
+                history["auc_train"].append(a_tr)
+                history["auc_val"].append(a_va)
+                epoch_vals["val_auc"] = a_va
+
+            for name, mode in monitors.items():
+                if name not in epoch_vals:
+                    continue
+                v = epoch_vals[name]
+                better = v > best[name]["value"] if mode == "max" else v < best[name]["value"]
+                if better:
+                    best[name] = {
+                        "value": v, "epoch": epoch,
+                        "params": jax.device_get(state.params),
+                        "batch_stats": jax.device_get(state.batch_stats),
+                    }
+            if verbose:
+                msg = f"epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.4f} {metric_name}={history['metric'][-1]:.4f}"
+                if has_val:
+                    msg += f" val_loss={history['val_loss'][-1]:.4f} val_{metric_name}={history['val_metric'][-1]:.4f}"
+                print(msg)
+
+        return state, history, best

@@ -1,0 +1,83 @@
+"""Sweep + classification metrics: vs naive numpy implementation of
+segmentation_models semantics, and sklearn roc_auc_score."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from sklearn.metrics import roc_auc_score
+
+from onestop_tpu.metrics.classification import classification_report, confusion_at_threshold, roc_auc
+from onestop_tpu.metrics.segmentation import SMOOTH, grid, sweep_report, threshold_sweep
+
+
+def _naive_sm(y_true, y_pred, t):
+    """segmentation_models FScore/IOUScore/Precision/Recall, global."""
+    gt = y_true.ravel()
+    pr = (y_pred.ravel() > t).astype(np.float64)
+    inter = (gt * pr).sum()
+    dice = (2 * inter + SMOOTH) / (gt.sum() + pr.sum() + SMOOTH)
+    iou = (inter + SMOOTH) / (gt.sum() + pr.sum() - inter + SMOOTH)
+    prec = (inter + SMOOTH) / (pr.sum() + SMOOTH)
+    rec = (inter + SMOOTH) / (gt.sum() + SMOOTH)
+    return dice, iou, prec, rec
+
+
+def test_sweep_global_matches_naive(rng):
+    y = (rng.random((20, 16, 16, 1)) > 0.7).astype(np.float32)
+    y[y > 0] *= rng.random((y > 0).sum())  # gray values like the real masks
+    p = rng.random((20, 16, 16, 1)).astype(np.float32)
+    ths = grid(0.1, 0.8, 0.05)
+    res = threshold_sweep(y, p, ths, batch_size=None)
+    for i, t in enumerate(ths):
+        d, io, pr, rc = _naive_sm(y, p, t)
+        assert res["dice"][i] == pytest.approx(d, rel=1e-5)
+        assert res["iou"][i] == pytest.approx(io, rel=1e-5)
+        assert res["precision"][i] == pytest.approx(pr, rel=1e-5)
+        assert res["recall"][i] == pytest.approx(rc, rel=1e-5)
+
+
+def test_sweep_batchwise_is_keras_weighted_mean(rng):
+    """batch_size mode == per-batch metrics averaged weighted by batch size."""
+    n, bs = 21, 8  # 8 + 8 + 5
+    y = (rng.random((n, 8, 8, 1)) > 0.6).astype(np.float32)
+    p = rng.random((n, 8, 8, 1)).astype(np.float32)
+    ths = np.array([0.5], np.float32)
+    res = threshold_sweep(y, p, ths, batch_size=bs)
+    vals, ws = [], []
+    for i in range(0, n, bs):
+        d, *_ = _naive_sm(y[i:i + bs], p[i:i + bs], 0.5)
+        vals.append(d)
+        ws.append(len(y[i:i + bs]))
+    expect = np.average(vals, weights=ws)
+    assert res["dice"][0] == pytest.approx(expect, rel=1e-5)
+
+
+def test_sweep_report_structure(rng):
+    y = (rng.random((10, 8, 8, 1)) > 0.5).astype(np.float32)
+    p = np.clip(y * 0.8 + 0.1 * rng.random(y.shape), 0, 1).astype(np.float32)
+    rep = sweep_report(y, p, coarse=(0.1, 0.8, 0.1), fine=(0.4, 0.6, 0.01))
+    assert 0.4 <= rep["best_threshold"] < 0.6
+    assert rep["best_dice"] > 0.5
+
+
+@pytest.mark.parametrize("with_ties", [False, True])
+def test_roc_auc_matches_sklearn(rng, with_ties):
+    y = (rng.random(500) > 0.7).astype(np.float32)
+    s = rng.random(500).astype(np.float32)
+    if with_ties:
+        s = np.round(s, 1)  # heavy ties
+    ref = roc_auc_score(y, s)
+    got = float(roc_auc(jnp.asarray(y), jnp.asarray(s)))
+    assert got == pytest.approx(ref, abs=1e-6)
+
+
+def test_confusion_and_report(rng):
+    y = np.array([1, 1, 1, 0, 0])
+    s = np.array([0.9, 0.6, 0.4, 0.3, 0.7])
+    tn, fp, fn, tp = confusion_at_threshold(y, s, 0.5)
+    assert (tn, fp, fn, tp) == (1, 1, 1, 2)
+    rep = classification_report(y, s, thresholds=(0.5,))
+    at = rep["at_threshold"][0.5]
+    assert at["accuracy"] == pytest.approx(3 / 5)
+    assert at["precision"] == pytest.approx(2 / 3)
+    assert at["recall"] == pytest.approx(2 / 3)

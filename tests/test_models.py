@@ -1,0 +1,108 @@
+"""Model topology tests: shapes, parameter counts vs the reference's
+model.summary() (classifier: exactly 1,678,385 — task2 notebook cell 73;
+U-Net: closed-form Keras count of holdout.py:853-916)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onestop_tpu.models import ClassifierCNN, UNet, UNetPP, count_params
+
+
+def _init(model, hw=64):
+    x = jnp.zeros((1, hw, hw, 1), jnp.float32)
+    return model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
+def _conv(cin, cout, k=3):
+    return (k * k * cin + 1) * cout
+
+
+def _bn(c):
+    return 4 * c  # gamma, beta, moving mean, moving var (Keras total-params)
+
+
+def _convt(cin, cout):
+    return (2 * 2 * cin + 1) * cout
+
+
+def test_unet_param_count_matches_keras_formula():
+    widths, bridge = (32, 64, 128, 256), 512
+    total, cin = 0, 1
+    for w in widths:
+        total += _conv(cin, w) + _conv(w, w) + _bn(w)
+        cin = w
+    total += _conv(256, bridge) + _conv(bridge, bridge)
+    prev = bridge
+    for w in reversed(widths):
+        total += _convt(prev, w) + _bn(2 * w) + _conv(2 * w, w) + _conv(w, w)
+        prev = w
+    total += _conv(32, 1, k=1)
+    variables = _init(UNet())
+    assert count_params(variables) == total
+    # exact Keras 'Total params' for holdout.py:853-916 (incl. BN statistics);
+    # SURVEY.md's "~7.86M" was an estimate — the exact count is 7,765,281
+    assert total == 7765281
+
+
+def test_classifier_param_count_exact():
+    variables = _init(ClassifierCNN(), hw=224)
+    assert count_params(variables) == 1678385  # task2 notebook cell 73
+
+
+def test_unet_output_shape_and_range():
+    model = UNet()
+    variables = _init(model)
+    x = jnp.asarray(np.random.default_rng(0).random((2, 64, 64, 1)), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 64, 64, 1)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    assert y.dtype == jnp.float32
+
+
+def test_unetpp_output_shape():
+    model = UNetPP()
+    variables = _init(model)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 64, 64, 1)
+
+
+def test_classifier_output_shape():
+    model = ClassifierCNN()
+    variables = _init(model, hw=64)
+    x = jnp.zeros((3, 64, 64, 1), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (3, 1)
+
+
+def test_eval_mode_deterministic():
+    model = UNet()
+    variables = _init(model)
+    x = jnp.asarray(np.random.default_rng(1).random((1, 64, 64, 1)), jnp.float32)
+    y1 = model.apply(variables, x, train=False)
+    y2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_train_mode_updates_batch_stats_and_uses_dropout():
+    model = UNet()
+    variables = _init(model)
+    x = jnp.asarray(np.random.default_rng(2).random((2, 64, 64, 1)), jnp.float32)
+    y1, mut = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+    y2, _ = model.apply(variables, x, train=True, mutable=["batch_stats"],
+                        rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.array_equal(np.asarray(y1), np.asarray(y2))  # dropout active
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mut["batch_stats"])
+    assert any(not np.array_equal(a, b) for a, b in zip(old, new))
+
+
+def test_bfloat16_compute_keeps_fp32_output():
+    model = UNet(dtype=jnp.bfloat16)
+    variables = _init(model)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.dtype == jnp.float32
