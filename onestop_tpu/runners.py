@@ -65,16 +65,13 @@ def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
     synthetic phantoms when absent (no network in this environment)."""
     cfg = cfg or C.PreprocessConfig()
     if data_dir is not None:
-        import csv
-        meta = Path(data_dir) / "metadata.csv"
-        with open(meta) as f:
-            rows = list(csv.DictReader(f))
-        for row in rows:
+        from onestop_tpu.data.acquire import load_metadata
+        from onestop_tpu.data.native import load_fdata_any
+
+        for row in load_metadata(data_dir):
             def _vol(col):
-                p = Path(data_dir) / Path(row[col]).name
-                if not p.exists():
-                    p = Path(data_dir) / row[col]
-                return load_slices(load_nifti(p).get_fdata(), cfg.img_size,
+                # native C++ threaded loader when built; Python reader else
+                return load_slices(load_fdata_any(row[col]), cfg.img_size,
                                    cfg.slice_lo, cfg.slice_hi)
             if with_infection:
                 yield (_vol("ct_scan"), _vol("lung_mask"), _vol("infection_mask"))

@@ -49,6 +49,30 @@ def test_lung_segmentation(tmp_path):
     assert res["checkpoint"].endswith(".msgpack")
 
 
+def test_runner_from_data_dir(tmp_path):
+    """Kaggle-layout data_dir path: metadata.csv + .nii.gz volumes through
+    the (native if built) loader into a full runner."""
+    import numpy as np
+    from onestop_tpu.data import save_nifti, synthetic_case
+
+    ddir = tmp_path / "dataset"
+    for sub in ("ct_scan", "lung_mask", "infection_mask"):
+        (ddir / sub).mkdir(parents=True)
+    rows = ["ct_scan,lung_mask,infection_mask"]
+    for i in range(2):
+        case = synthetic_case(seed=i, hw=128, n_slices=8)
+        save_nifti(ddir / "ct_scan" / f"c{i}.nii.gz", case.ct.astype(np.float32))
+        save_nifti(ddir / "lung_mask" / f"c{i}.nii.gz", case.lung_mask.astype(np.uint8))
+        save_nifti(ddir / "infection_mask" / f"c{i}.nii.gz",
+                   case.infection_mask.astype(np.uint8))
+        rows.append(f"ct_scan/c{i}.nii.gz,lung_mask/c{i}.nii.gz,infection_mask/c{i}.nii.gz")
+    (ddir / "metadata.csv").write_text("\n".join(rows) + "\n")
+
+    res = R.runner_lung_segmentation(data_dir=ddir, out_dir=tmp_path / "art",
+                                     small_run=True)
+    assert 0 <= res["val_dice"] <= 1
+
+
 def test_cli_dispatch(tmp_path, monkeypatch, capsys):
     from onestop_tpu import app
     rc = app.main(["six", "--small-run", "--out-dir", str(tmp_path)])
