@@ -39,6 +39,45 @@ def load_checkpoint(path, template_params, template_batch_stats=None):
     return restored["params"], restored["batch_stats"]
 
 
+def save_train_state(path, state, epoch: int, history: dict | None = None) -> Path:
+    """Full-state checkpoint for crash/resume: params + batch_stats +
+    optimizer state + step + epoch (+history). The reference's only crash
+    mitigation is its joblib array cache and best-weights files
+    (SURVEY.md §5.3); this restores training exactly where it stopped."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": jax.device_get(state.step),
+        "epoch": np.int64(epoch),
+    }
+    path.write_bytes(serialization.to_bytes(payload))
+    if history is not None:
+        Path(str(path) + ".history.json").write_text(json.dumps(history))
+    return path
+
+
+def load_train_state(path, template_state):
+    """Restore (state, next_epoch, history) from a full-state checkpoint."""
+    path = Path(path)
+    target = {
+        "params": jax.device_get(template_state.params),
+        "batch_stats": jax.device_get(template_state.batch_stats),
+        "opt_state": jax.device_get(template_state.opt_state),
+        "step": jax.device_get(template_state.step),
+        "epoch": np.int64(0),
+    }
+    restored = serialization.from_bytes(target, path.read_bytes())
+    state = template_state.replace(
+        params=restored["params"], batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"], step=restored["step"])
+    hist_path = Path(str(path) + ".history.json")
+    history = json.loads(hist_path.read_text()) if hist_path.exists() else None
+    return state, int(restored["epoch"]) + 1, history
+
+
 def metric_stamped_name(prefix: str, metric_value: float, suffix: str = "") -> str:
     """e.g. 'unet_0.8954_cosine_annealer' (ref holdout.py:1079)."""
     parts = [prefix, f"{metric_value:.4f}"]

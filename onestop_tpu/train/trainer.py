@@ -198,9 +198,22 @@ class Trainer:
         sample_weights=None,
         track_auc: bool = False,
         verbose: bool = False,
+        checkpoint_path=None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+        log_file=None,
+        profile_dir=None,
     ):
         """Returns (final_state, history, best) where ``best`` maps monitor
-        name -> dict(epoch, value, params, batch_stats)."""
+        name -> dict(epoch, value, params, batch_stats).
+
+        checkpoint_path/_every: periodic full-state checkpoints (crash
+        recovery); resume=True restores from checkpoint_path if present.
+        log_file: JSONL per-epoch structured log. profile_dir: jax.profiler
+        trace of the first training epoch."""
+        from onestop_tpu.train.checkpoint import load_train_state, save_train_state
+        from onestop_tpu.train.profiling import JsonlLogger, StepTimer, trace
+
         cfg = self.cfg
         epochs = epochs if epochs is not None else cfg.epochs
         lr_of = schedule_from_config(cfg)
@@ -217,13 +230,23 @@ class Trainer:
             y_val = jnp.asarray(y_val)
             val_idx, val_w = self._eval_grid(len(x_val))
 
-        history: dict[str, list] = {"loss": [], "metric": [], "lr": []}
+        history: dict[str, list] = {"loss": [], "metric": [], "lr": [],
+                                    "epoch_seconds": []}
         if has_val:
             history["val_loss"] = []
             history["val_metric"] = []
         if track_auc:
             history["auc_train"] = []
             history["auc_val"] = []
+
+        start_epoch = 0
+        if resume and checkpoint_path is not None and __import__("pathlib").Path(checkpoint_path).exists():
+            state, start_epoch, saved_hist = load_train_state(checkpoint_path, state)
+            if saved_hist:
+                for k in history:
+                    history[k] = list(saved_hist.get(k, []))
+        logger = JsonlLogger(log_file)
+        timer = StepTimer()
 
         metric_name = "dice_coeff" if self.seg_metrics else "f1"
         monitors = {f"val_{metric_name}": "max", "val_loss": "min"}
@@ -234,7 +257,8 @@ class Trainer:
                 for k, m in monitors.items()}
 
         root = jax.random.PRNGKey(cfg.shuffle_seed)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
+            timer.start()
             ekey = jax.random.fold_in(root, epoch)
             perm = np.asarray(jax.random.permutation(ekey, n))
             idx = np.concatenate([perm, np.zeros(pad, np.int64)]).reshape(n_batches, bs)
@@ -242,9 +266,10 @@ class Trainer:
             keys = jax.random.split(jax.random.fold_in(ekey, 1), n_batches)
             lr = lr_of(epoch)
 
-            state, loss, metric = self._epoch_fn(
-                state, x_train, y_train, jnp.asarray(idx), jnp.asarray(w), keys, jnp.float32(lr)
-            )
+            with trace(profile_dir if epoch == start_epoch else None):
+                state, loss, metric = self._epoch_fn(
+                    state, x_train, y_train, jnp.asarray(idx), jnp.asarray(w), keys, jnp.float32(lr)
+                )
             history["loss"].append(float(loss))
             history["metric"].append(float(metric))
             history["lr"].append(lr)
@@ -277,6 +302,17 @@ class Trainer:
                         "params": jax.device_get(state.params),
                         "batch_stats": jax.device_get(state.batch_stats),
                     }
+            history["epoch_seconds"].append(timer.stop())
+            logger.log({"epoch": epoch, "lr": lr,
+                        "loss": history["loss"][-1],
+                        metric_name: history["metric"][-1],
+                        **({"val_loss": epoch_vals.get("val_loss"),
+                            f"val_{metric_name}": epoch_vals.get(f"val_{metric_name}")}
+                           if has_val else {}),
+                        "seconds": history["epoch_seconds"][-1]})
+            if checkpoint_path is not None and checkpoint_every and \
+                    (epoch + 1) % checkpoint_every == 0:
+                save_train_state(checkpoint_path, state, epoch, history)
             if verbose:
                 msg = f"epoch {epoch + 1}/{epochs} loss={history['loss'][-1]:.4f} {metric_name}={history['metric'][-1]:.4f}"
                 if has_val:
