@@ -160,6 +160,86 @@ def _apply_luts(imgs: jax.Array, luts: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(res), 0, 255).astype(jnp.uint8)
 
 
+def _apply_kernel(colw1_ref, colw2_ref, img_ref, luts_ref, out_ref, *,
+                  tile_h: int, width: int):
+    """8-row-block LUT apply (grid (B, H/8) keeps the DMA pipeline busy):
+    per row, build the transposed one-hot (256 bins on sublanes x W pixels
+    on lanes — a pure broadcast compare, no relayout) and contract with the
+    row's 16 stacked tile LUTs on the MXU. Everything stays in VMEM; the XLA
+    fallback materializes ~268 MB/image of one-hot through HBM.
+
+    An 8-row block lies within one interpolation half-band whenever
+    tile_h % 16 == 0 (512/256 inputs), so the two LUT rows are loaded once
+    per block and the 8 inner rows unroll without control flow."""
+    bins = jax.lax.broadcasted_iota(jnp.int32, (_NBINS, 1), 0)
+    j = pl.program_id(1)
+    y0 = j * 8
+    tyf0 = y0.astype(jnp.float32) / tile_h - 0.5
+    ty1 = jnp.floor(tyf0)
+    ty1c = jnp.clip(ty1, 0, _GRID - 1).astype(jnp.int32)
+    ty2c = jnp.clip(ty1 + 1, 0, _GRID - 1).astype(jnp.int32)
+    lut1 = luts_ref[0, pl.ds(ty1c * _GRID, _GRID), :]        # (8, 256)
+    lut2 = luts_ref[0, pl.ds(ty2c * _GRID, _GRID), :]
+    luts = jnp.concatenate([lut1, lut2], axis=0).astype(jnp.bfloat16)
+    cw1 = colw1_ref[...]
+    cw2 = colw2_ref[...]
+
+    for r in range(8):
+        row = img_ref[0, r : r + 1, :]                       # (1, W) int32
+        onehot = (bins == row).astype(jnp.bfloat16)          # (256, W)
+        p = jnp.dot(luts, onehot, preferred_element_type=jnp.float32)  # (16, W)
+        # association matches OpenCV: A(1-xa) + B·xa per LUT row, then the
+        # row lerp (each colw sum has exactly one nonzero term)
+        top = (jnp.sum(p[0:_GRID] * cw1, axis=0, keepdims=True)
+               + jnp.sum(p[0:_GRID] * cw2, axis=0, keepdims=True))
+        bot = (jnp.sum(p[_GRID:] * cw1, axis=0, keepdims=True)
+               + jnp.sum(p[_GRID:] * cw2, axis=0, keepdims=True))
+        tyf = (y0 + r).astype(jnp.float32) / tile_h - 0.5
+        ya = tyf - jnp.floor(tyf)
+        res = top * (1.0 - ya) + bot * ya
+        out_ref[0, r : r + 1, :] = jnp.clip(jnp.round(res), 0.0, 255.0)
+
+
+def _colw_split(w: int, tw: int):
+    """Separate (8, W) column-weight planes for tx1 ((1-xa)) and tx2 (xa)."""
+    xs = np.arange(w, dtype=np.float64)
+    txf = xs / tw - 0.5
+    tx1 = np.floor(txf)
+    xa = (txf - tx1).astype(np.float32)
+    tx1c = np.clip(tx1, 0, _GRID - 1).astype(np.int64)
+    tx2c = np.clip(tx1 + 1, 0, _GRID - 1).astype(np.int64)
+    w1 = np.zeros((_GRID, w), np.float32)
+    w2 = np.zeros((_GRID, w), np.float32)
+    w1[tx1c, np.arange(w)] = 1.0 - xa
+    w2[tx2c, np.arange(w)] = xa
+    return w1, w2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _apply_luts_pallas(imgs: jax.Array, luts: jax.Array, interpret: bool = False) -> jax.Array:
+    b, h, w = imgs.shape
+    th, tw = h // _GRID, w // _GRID
+    w1, w2 = _colw_split(w, tw)
+    kernel = functools.partial(_apply_kernel, tile_h=th, width=w)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
+        grid=(b, h // 8),
+        in_specs=[
+            pl.BlockSpec((_GRID, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GRID, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _GRID * _GRID, _NBINS), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(w1), jnp.asarray(w2), imgs.astype(jnp.int32),
+      luts.astype(jnp.float32))
+    return out.astype(jnp.uint8)
+
+
 def clahe_fused(imgs: jax.Array, clip_limit: float = 3.0,
                 interpret: bool = False) -> jax.Array:
     """Batched CLAHE, Pallas-accelerated. (B, H, W) uint8 -> uint8.
@@ -188,9 +268,13 @@ def clahe_fused(imgs: jax.Array, clip_limit: float = 3.0,
     else:
         hist = tile_histograms(padded, interpret=interpret)
     luts = _finalize_luts(hist, clip_limit, th * tw)
-    # apply uses the padded tile size but original pixel grid
+    # apply uses the padded tile size but original pixel grid; the Pallas
+    # apply kernel needs 8-row blocks to stay inside one interpolation
+    # half-band (tile_h % 16 == 0 — true for 512/256 inputs)
+    apply = (functools.partial(_apply_luts_pallas, interpret=interpret)
+             if th % 16 == 0 else _apply_luts)
     if ph or pw:
-        out = _apply_luts(padded, luts)[:, :h, :w]
+        out = apply(padded, luts)[:, :h, :w]
     else:
-        out = _apply_luts(imgs, luts)
+        out = apply(imgs, luts)
     return out
