@@ -29,9 +29,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--out-hw", type=int, default=256)
+    ap.add_argument("--in-hw", type=int, default=256,
+                    help="raw CT slice resolution (BASELINE.json: 256^2 slices)")
+    ap.add_argument("--out-hw", type=int, default=224,
+                    help="model resolution (reference trains at 224^2)")
     args = ap.parse_args()
 
     import jax
@@ -50,12 +53,15 @@ def main():
     # one pixel of every output (cheap RPCs). Device compute serializes
     # in-order on the single chip, so the span covers all real work.
     rng = np.random.default_rng(0)
+    s = args.in_hw
     bufs = [jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (b, 512, 512), dtype=np.uint8))) for _ in range(args.iters)]
+        rng.integers(0, 256, (b, s, s), dtype=np.uint8))) for _ in range(args.iters)]
     # plausible lung boxes (the production chain takes them from the task3
     # lung model; their values don't change the FLOP count)
-    b1_d = jax.device_put(jnp.tile(jnp.array([60, 80, 170, 330], jnp.int32), (b, 1)))
-    b2_d = jax.device_put(jnp.tile(jnp.array([280, 90, 160, 320], jnp.int32), (b, 1)))
+    b1_d = jax.device_put(jnp.tile(
+        jnp.array([s // 8, s // 6, s // 3, (2 * s) // 3], jnp.int32), (b, 1)))
+    b2_d = jax.device_put(jnp.tile(
+        jnp.array([(5 * s) // 9, s // 6, (3 * s) // 10, (3 * s) // 5], jnp.int32), (b, 1)))
 
     model = UNet(dtype=jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(0)},
@@ -77,12 +83,13 @@ def main():
 
     slices_per_sec = b * args.iters / dt
     print(json.dumps({
-        "metric": f"fused_preproc+unet_infer_{args.out_hw}px",
+        "metric": f"fused_preproc+unet_infer_{args.in_hw}px_slices",
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / 5000.0, 4),
         "backend": backend,
         "batch": b,
+        "model_hw": args.out_hw,
     }))
     return 0
 
