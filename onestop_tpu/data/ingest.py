@@ -8,12 +8,13 @@ by black-mask filtering, resize-to-224, uint8 quantization and /255.
 
 This rebuild replaces the global-coupled three-pass protocol with one
 explicit per-case function whose hot ops (bbox, CLAHE, crop-resize) run
-batched under ``jit`` on device. By default slices whose lung mask is empty
-are dropped from *all* modalities together, fixing the reference's
-index-misalignment quirks (SURVEY.md §8 Q3/Q4 — there, empty lung slices
-shift the recorded boxes relative to ct slice indices, and overflow slices
-pass through uncropped at 512²). Pass ``strict_reference=True`` to reproduce
-the misaligned behavior exactly for parity experiments.
+batched under ``jit`` on device. Slices whose lung mask is empty are dropped
+from *all* modalities together — a deliberate, documented divergence fixing
+the reference's index-misalignment quirks (SURVEY.md §8 Q3/Q4: there, empty
+lung slices shift the recorded boxes relative to ct slice indices, so some
+CTs are cropped with another slice's boxes, and overflow slices pass through
+uncropped at 512²). The misaligned behavior is a latent bug, not advertised
+semantics, so it is not reproduced.
 """
 
 from __future__ import annotations

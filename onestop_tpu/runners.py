@@ -234,6 +234,15 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
         "tables": {k: v.tolist() for k, v in tables.items()},
     }
     _save_json(out_dir / f"{name}_report.json", results)
+    try:  # threshold x fold DataFrames, the reference's report artifact
+        import pandas as pd
+        for k, tab in tables.items():
+            df = pd.DataFrame(tab, index=np.round(ths, 4),
+                              columns=[f"fold{f + 1}" for f in range(len(folds))])
+            df.index.name = "threshold"
+            df.to_csv(out_dir / f"{name}_{k}_by_fold.csv")
+    except ImportError:
+        pass
     return {**results, "history": hist, "states": states, "trainer": tr,
             "fold_best": best, "data_folds": folds}
 
