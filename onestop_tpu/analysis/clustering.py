@@ -85,9 +85,8 @@ def kmeans(x: Array, k: int = 2, seed: int = 0, max_iter: int = 100):
         new_centers = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), centers)
         return new_centers, labels, it + 1
 
-    centers, labels, _ = jax.lax.while_loop(
-        cond, body, (centers, jnp.full((n,), -1, jnp.int32).astype(jnp.int64), 0)
-    )
+    init_labels = jnp.full((n,), -1).astype(assign(centers).dtype)
+    centers, labels, _ = jax.lax.while_loop(cond, body, (centers, init_labels, 0))
     return assign(centers), centers
 
 

@@ -66,12 +66,13 @@ def synthetic_case(
             k = rng.integers(0, len(ys))
             blob = _ellipsoid(
                 h, w, s, ys[k], xs[k], zs[k],
-                max(h * rng.uniform(0.02, 0.07), 2),
-                max(w * rng.uniform(0.02, 0.06), 2),
-                max(s * rng.uniform(0.08, 0.2), 1),
+                max(h * rng.uniform(0.04, 0.11), 3),
+                max(w * rng.uniform(0.04, 0.10), 3),
+                max(s * rng.uniform(0.15, 0.35), 2),
             )
             infection |= blob & (left | right)
-    ct[infection] = -200.0 + 120.0 * rng.standard_normal(int(infection.sum()))
+    # ground-glass-like consolidations: distinctly denser than lung tissue
+    ct[infection] = -150.0 + 60.0 * rng.standard_normal(int(infection.sum()))
 
     lung_mask = np.zeros((h, w, s))
     lung_mask[left] = 1.0

@@ -172,7 +172,7 @@ class FoldParallelTrainer:
                 check_vma=False,
             )
 
-        self._epoch_fn = jax.jit(epoch_core)
+        self._epoch_fn = jax.jit(epoch_core, donate_argnums=(0,))
         self._eval_fn = jax.jit(eval_core)
 
     # ------------------------------------------------------------------

@@ -120,7 +120,7 @@ class Trainer:
                 return (params, new_bs, new_opt), (l, m, jnp.sum(wb))
             return train_step
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def epoch_fn(state: TrainState, x, y, idx_grid, w_grid, keys, lr):
             lrs = jnp.full((idx_grid.shape[0],), lr, jnp.float32)
             (params, batch_stats, opt_state), (ls, ms, ws) = jax.lax.scan(
