@@ -114,6 +114,25 @@ def plot_roc(fpr, tpr, auc_value, path=None):
     return fig
 
 
+def plot_probability_distribution(y_true, y_score, threshold=0.5, path=None):
+    """Predicted-probability histograms per class with the decision threshold
+    — the reference's plot_metric class-distribution panel (task2:919-989)."""
+    plt = _plt()
+    y = np.asarray(y_true).ravel() > 0.5
+    s = np.asarray(y_score).ravel()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.hist(s[~y], bins=30, alpha=0.6, label="class 0", color="tab:blue")
+    ax.hist(s[y], bins=30, alpha=0.6, label="class 1", color="tab:orange")
+    ax.axvline(threshold, color="red", linestyle="--", label=f"t={threshold:g}")
+    ax.set_xlabel("predicted probability")
+    ax.legend()
+    ax.grid(True)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_lr_schedule(lrs, title="Learning rate", path=None):
     """LR schedule plots (ref holdout.py:941-1035)."""
     plt = _plt()

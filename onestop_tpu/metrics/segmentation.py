@@ -127,10 +127,6 @@ def sweep_report(y_true, y_pred, coarse=(0.10, 0.80, 0.05), fine=(0.52, 0.60, 0.
         "best_threshold": float(fine_res["thresholds"][best_i]),
         "best_dice": float(fine_res["dice"][best_i]),
         "best_iou": float(fine_res["iou"][best_i]),
-        "precision_at_best": float(
-            threshold_sweep(y_true, y_pred, np.array([fine_res["thresholds"][best_i]]), batch_size)["precision"][0]
-        ),
-        "recall_at_best": float(
-            threshold_sweep(y_true, y_pred, np.array([fine_res["thresholds"][best_i]]), batch_size)["recall"][0]
-        ),
+        "precision_at_best": float(fine_res["precision"][best_i]),
+        "recall_at_best": float(fine_res["recall"][best_i]),
     }

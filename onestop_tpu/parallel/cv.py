@@ -275,6 +275,46 @@ class FoldParallelTrainer:
         return np.asarray(out.reshape((steps * bs,) + out.shape[2:])[:n])
 
 
+def sequential_cross_validate(model, cfg: TrainConfig, x, y, folds,
+                              epochs_per_fold=None, carry_weights=True,
+                              verbose=False):
+    """Reference-parity sequential CV (``task1_crossval_3folds_unet.py:1005-1046``):
+    folds train one after another on a single model. With
+    ``carry_weights=True`` (the reference's actual behavior, SURVEY.md §8
+    Q5), fold N starts from fold N-1's trained weights with a fresh Adam —
+    this is what makes the reference's 20-epoch folds reach its published
+    mean-fold numbers. The parallel ``cross_validate`` trains each fold from
+    a fresh init instead (unbiased); this mode exists for behavior parity.
+
+    Returns (trainer, final_state, histories, best) like cross_validate,
+    with histories as a list of per-fold History dicts."""
+    from onestop_tpu.train.trainer import Trainer
+
+    budgets = list(epochs_per_fold or [cfg.epochs] * len(folds))
+    trainer = Trainer(model, cfg)
+    rng = jax.random.PRNGKey(cfg.init_seed)
+    state = trainer.init_state(rng, x.shape[1:])
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    hists, best = [], []
+    for f, (tr_idx, va_idx) in enumerate(folds):
+        if f > 0:
+            if carry_weights:
+                # recompile semantics: fresh optimizer, carried weights
+                state = state.replace(opt_state=trainer.tx.init(state.params),
+                                      step=jnp.zeros((), jnp.int32))
+            else:
+                state = trainer.init_state(jax.random.PRNGKey(cfg.init_seed), x.shape[1:])
+        state, hist, b = trainer.fit(state, x[jnp.asarray(tr_idx)], y[jnp.asarray(tr_idx)],
+                                     x[jnp.asarray(va_idx)], y[jnp.asarray(va_idx)],
+                                     epochs=budgets[f], verbose=verbose)
+        hists.append(hist)
+        snap = b["val_dice_coeff"]
+        best.append({"value": snap["value"], "epoch": snap["epoch"],
+                     "params": snap["params"], "batch_stats": snap["batch_stats"]})
+    return trainer, state, hists, best
+
+
 def cross_validate(model, cfg: TrainConfig, x, y, folds, mesh=None,
                    epochs_per_fold=None, init_rng=None, verbose=False):
     """Convenience wrapper: fold-parallel training + per-fold best snapshots.

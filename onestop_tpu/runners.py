@@ -182,15 +182,35 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
 
 
 def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
-                         verbose=False):
+                         verbose=False, cv_mode: str = "parallel"):
+    """cv_mode: 'parallel' (fold-parallel over the mesh, fresh init per fold)
+    or 'sequential_reference' (the reference's weight-carrying sequential
+    loop — SURVEY.md §8 Q5 — for behavior-parity runs)."""
     out_dir = _out(out_dir)
     sp = task_cfg.split
     folds = kfold_indices(len(x), sp.n_folds, sp.seed)
     model = _build_unet(task_cfg)
     t0 = time.perf_counter()
-    tr, states, hist, best = cross_validate(
-        model, task_cfg.train, x, y, folds, mesh=mesh,
-        epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose)
+    if cv_mode == "sequential_reference":
+        from onestop_tpu.parallel.cv import sequential_cross_validate
+        seq_tr, seq_state, hist, best = sequential_cross_validate(
+            model, task_cfg.train, x, y, folds,
+            epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose)
+        states = seq_state
+
+        class _SeqAdapter:
+            cfg = task_cfg.train
+
+            @staticmethod
+            def predict_fold(params, bstats, xs, batch_size=None):
+                st = dataclasses.replace(seq_state, params=params, batch_stats=bstats)
+                return seq_tr.predict(st, xs)
+
+        tr = _SeqAdapter()
+    else:
+        tr, states, hist, best = cross_validate(
+            model, task_cfg.train, x, y, folds, mesh=mesh,
+            epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose)
     train_time = time.perf_counter() - t0
 
     # per-fold sweeps on the best snapshot (the reference's
@@ -290,11 +310,13 @@ def holdout_runner_unet_infection_segmentation(
 
 def three_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, **kw
+    verbose=False, cv_mode="parallel", **kw
 ):
     """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
     in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
-    masking."""
+    masking. cv_mode='sequential_reference' reproduces the reference's
+    weight-carrying sequential loop (its published 3-fold numbers depend on
+    that carry-over — 20-epoch folds train from fold 1's weights)."""
     task_cfg = C.task1_3fold()
     if small_run:
         task_cfg = _small(task_cfg, epochs=3)
@@ -306,12 +328,12 @@ def three_fold_runner_unet_infection_segmentation(
     else:
         x, y = data
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
-                                mesh=mesh, verbose=verbose)
+                                mesh=mesh, verbose=verbose, cv_mode=cv_mode)
 
 
 def four_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, **kw
+    verbose=False, cv_mode="parallel", **kw
 ):
     """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
     task_cfg = C.task1_4fold()
@@ -325,7 +347,7 @@ def four_fold_runner_unet_infection_segmentation(
     else:
         x, y = data
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",
-                                mesh=mesh, verbose=verbose)
+                                mesh=mesh, verbose=verbose, cv_mode=cv_mode)
 
 
 def holdout_runner_unetplusplus_infection_segmentation(

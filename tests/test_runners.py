@@ -30,6 +30,14 @@ def test_four_fold(tmp_path):
     assert 0 <= res["mean_fold_iou"] <= 1
 
 
+def test_three_fold_sequential_reference_mode(tmp_path):
+    """Weight-carrying sequential CV (reference-parity, SURVEY.md §8 Q5)."""
+    res = R.three_fold_runner_unet_infection_segmentation(
+        out_dir=tmp_path, cv_mode="sequential_reference", **_KW)
+    assert res["n_folds"] == 3
+    assert 0 <= res["mean_fold_dice"] <= 1
+
+
 def test_unetpp(tmp_path):
     res = R.holdout_runner_unetplusplus_infection_segmentation(out_dir=tmp_path, **_KW)
     assert 0 <= res["val_dice"] <= 1
