@@ -11,7 +11,7 @@ defaults, so the six runners are parameterized instances of shared code.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 
 @dataclasses.dataclass(frozen=True)

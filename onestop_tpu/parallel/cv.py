@@ -22,7 +22,7 @@ no hand-written collectives are needed on this axis.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -41,11 +41,14 @@ class FoldParallelTrainer:
     """vmapped-over-folds version of ``train.Trainer``."""
 
     def __init__(self, model, cfg: TrainConfig, n_folds: int, loss: str | Callable | None = None,
-                 mesh=None):
+                 mesh=None, remat: bool = True):
         self.model = model
         self.cfg = cfg
         self.n_folds = n_folds
         self.mesh = mesh
+        self.remat = remat  # rematerialize fold forward passes: n_folds
+        # models' activations live simultaneously per device group, so trade
+        # FLOPs for HBM (jax.checkpoint) by default
         loss = loss if loss is not None else cfg.loss
         self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
         self.tx = make_adam(cfg)
@@ -82,6 +85,15 @@ class FoldParallelTrainer:
     def _build(self):
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
 
+        def forward(pp, bs_, xb, key):
+            return model.apply(
+                {"params": pp, "batch_stats": bs_}, xb, train=True,
+                mutable=["batch_stats"], rngs={"dropout": key},
+            )
+
+        if self.remat:
+            forward = jax.checkpoint(forward)
+
         def fold_epoch(params, batch_stats, opt_state, x, y, idx_grid, w_grid, keys, lr, active):
             """One fold's epoch: scan over steps. active gates the update."""
 
@@ -92,10 +104,7 @@ class FoldParallelTrainer:
                 yb = y[idx]
 
                 def loss_of(pp):
-                    probs, mut = model.apply(
-                        {"params": pp, "batch_stats": bs_}, xb, train=True,
-                        mutable=["batch_stats"], rngs={"dropout": key},
-                    )
+                    probs, mut = forward(pp, bs_, xb, key)
                     l = loss_fn(yb, probs, weights=wb)
                     m = L.dice_coeff(yb * L._broadcast(wb, yb.ndim),
                                      probs * L._broadcast(wb, probs.ndim))
@@ -178,7 +187,7 @@ class FoldParallelTrainer:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _rectangular_grids(fold_indices, batch_size, rng_perms=None):
+    def _rectangular_grids(fold_indices, batch_size):
         """Pad each fold's index list to a common (steps, batch) grid with
         zero-weight slots."""
         max_n = max(len(ix) for ix in fold_indices)
@@ -188,8 +197,6 @@ class FoldParallelTrainer:
         w = np.zeros((len(fold_indices), steps, batch_size), np.float32)
         for f, ix in enumerate(fold_indices):
             ix = np.asarray(ix)
-            if rng_perms is not None:
-                ix = ix[rng_perms[f] % len(ix)][: len(ix)]
             pad = total - len(ix)
             flat = np.concatenate([ix, np.zeros(pad, np.int64)])
             idx[f] = flat.reshape(steps, batch_size)
@@ -245,15 +252,15 @@ class FoldParallelTrainer:
             hist["val_dice"].append(vd)
             hist["lr"].append(float(lr))
 
-            host_state = None
             for f in range(F):
                 if epoch < budgets[f] and vd[f] > best[f]["value"]:
-                    if host_state is None:
-                        host_state = jax.device_get(states)
+                    # slice on device, fetch only this fold's weights
                     best[f] = {
                         "value": float(vd[f]), "epoch": epoch,
-                        "params": jax.tree_util.tree_map(lambda a: a[f], host_state.params),
-                        "batch_stats": jax.tree_util.tree_map(lambda a: a[f], host_state.batch_stats),
+                        "params": jax.device_get(
+                            jax.tree_util.tree_map(lambda a: a[f], states.params)),
+                        "batch_stats": jax.device_get(
+                            jax.tree_util.tree_map(lambda a: a[f], states.batch_stats)),
                     }
             if verbose:
                 print(f"epoch {epoch + 1}/{total_epochs} "

@@ -38,7 +38,6 @@ from onestop_tpu.data import (
     build_lung_dataset,
     build_segmentation_dataset,
     kfold_indices,
-    load_nifti,
     load_slices,
     stratified_shuffle_split_indices,
     synthetic_dataset,
