@@ -181,20 +181,29 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
 
 
 def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
-                         verbose=False, cv_mode: str = "parallel"):
-    """cv_mode: 'parallel' (fold-parallel over the mesh, fresh init per fold)
-    or 'sequential_reference' (the reference's weight-carrying sequential
-    loop — SURVEY.md §8 Q5 — for behavior-parity runs)."""
+                         verbose=False, cv_mode: str = "auto"):
+    """cv_mode:
+    - 'auto': fold-parallel when a multi-device mesh is available, else
+      sequential with fresh per-fold init (on one chip fold-vmapping only
+      multiplies activation memory without any speedup);
+    - 'parallel': fold-parallel over the mesh 'fold' axis, fresh init/fold;
+    - 'sequential': the reference's loop shape but with fresh per-fold init;
+    - 'sequential_reference': the reference's weight-carrying loop
+      (SURVEY.md §8 Q5) for behavior-parity runs."""
     out_dir = _out(out_dir)
     sp = task_cfg.split
     folds = kfold_indices(len(x), sp.n_folds, sp.seed)
     model = _build_unet(task_cfg)
     t0 = time.perf_counter()
-    if cv_mode == "sequential_reference":
+    if cv_mode == "auto":
+        multi = mesh is not None and int(np.prod(mesh.devices.shape)) > 1
+        cv_mode = "parallel" if multi else "sequential"
+    if cv_mode.startswith("sequential"):
         from onestop_tpu.parallel.cv import sequential_cross_validate
         seq_tr, seq_state, hist, best = sequential_cross_validate(
             model, task_cfg.train, x, y, folds,
-            epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose)
+            epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose,
+            carry_weights=(cv_mode == "sequential_reference"))
         states = seq_state
 
         class _SeqAdapter:
@@ -309,7 +318,7 @@ def holdout_runner_unet_infection_segmentation(
 
 def three_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="parallel", **kw
+    verbose=False, cv_mode="auto", **kw
 ):
     """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
     in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
@@ -332,7 +341,7 @@ def three_fold_runner_unet_infection_segmentation(
 
 def four_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="parallel", **kw
+    verbose=False, cv_mode="auto", **kw
 ):
     """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
     task_cfg = C.task1_4fold()
