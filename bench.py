@@ -1,9 +1,11 @@
 """Headline benchmark: fused preproc (CLAHE + two-lung crop) + U-Net
 inference throughput on one TPU chip.
 
-Pipeline per slice (the production chain, ``onestop_tpu.ops.pipeline``):
-512x512 uint8 raw slice -> Pallas tile-histogram CLAHE -> dynamic two-lung
-crop-resize (MXU matmuls) to 256x256 -> /255 -> reference-topology U-Net
+Pipeline per slice (the production chain, ``onestop_tpu.ops.pipeline``),
+defaults matching BASELINE.json's "256^2 CT slices" and the reference's own
+224^2 model resolution (both overridable via --in-hw/--out-hw):
+256x256 uint8 raw slice -> Pallas tile-histogram CLAHE -> dynamic two-lung
+crop-resize (MXU matmuls) to 224x224 -> /255 -> reference-topology U-Net
 (bfloat16) -> sigmoid -> threshold.
 
 Prints ONE JSON line; vs_baseline is against the 5,000 slices/sec/chip

@@ -42,7 +42,8 @@ def test_task_variants():
 
 
 def test_splits_all_seed_42():
-    for cfg in (C.task1_holdout(), C.task1_3fold(), C.task2_classification(), C.task3_lung()):
+    for cfg in (C.task1_holdout(), C.task1_3fold(), C.task1_4fold(),
+                C.task1_unetpp(), C.task2_classification(), C.task3_lung()):
         assert cfg.split.seed == 42
 
 
