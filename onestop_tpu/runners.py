@@ -133,14 +133,17 @@ def _build_unet(task_cfg: C.TaskConfig):
 
 
 def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
-                              name: str, verbose=False):
+                              name: str, verbose=False, use_augmentation=False):
     out_dir = _out(out_dir)
     sp = task_cfg.split
     tr_idx, te_idx = train_test_split_indices(len(x), sp.test_size, sp.seed)
     x_train, y_train = x[tr_idx], y[tr_idx]
     x_val, y_val = x[te_idx], y[te_idx]
 
-    trainer = Trainer(model, task_cfg.train)
+    # on-device joint augmentation, off by default like the reference's
+    # published runs (SURVEY.md §8 Q7 — it computes but never trains on aug)
+    trainer = Trainer(model, task_cfg.train,
+                      augment_cfg=task_cfg.augment if use_augmentation else None)
     state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
     t0 = time.perf_counter()
     state, history, best = trainer.fit(state, x_train, y_train, x_val, y_val,
@@ -440,7 +443,8 @@ def runner_classification(
 
 
 def runner_lung_segmentation(
-    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False, **kw
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
+    use_augmentation=False, **kw
 ):
     """Task3 lung segmentation U-Net (ref task3_lung_segmentation_unet.py:6) —
     the minimum end-to-end slice M1 (SURVEY.md §7)."""
@@ -455,7 +459,8 @@ def runner_lung_segmentation(
         x, y = data
     model = _build_unet(task_cfg)
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
-                                     "unet_lung_segmentation", verbose=verbose)
+                                     "unet_lung_segmentation", verbose=verbose,
+                                     use_augmentation=use_augmentation)
 
 
 RUNNERS = {

@@ -63,12 +63,18 @@ class Trainer:
         cfg: TrainConfig,
         loss: str | Callable | None = None,
         seg_metrics: bool = True,
+        augment_cfg=None,
     ):
+        """augment_cfg: optional AugmentConfig — applies the on-device
+        flip/affine pipeline (ops.augment) jointly to every training batch.
+        The reference builds this pipeline but never feeds it to training
+        (SURVEY.md §8 Q7); here it is a usable option, off by default."""
         self.model = model
         self.cfg = cfg
         loss = loss if loss is not None else cfg.loss
         self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
         self.seg_metrics = seg_metrics  # dice for segmentation, f1 for classification
+        self.augment_cfg = augment_cfg
         self.tx = make_adam(cfg)
         self._build()
 
@@ -100,12 +106,20 @@ class Trainer:
             )
             return out, mut["batch_stats"]
 
+        augment_cfg = self.augment_cfg
+
         def make_train_step(x, y):
             def train_step(carry, xs):
                 params, batch_stats, opt_state = carry
                 idx, wb, key, lr = xs
                 xb = x[idx]
                 yb = y[idx]
+                if augment_cfg is not None:
+                    from onestop_tpu.ops.augment import augment_batch
+                    akey, key = jax.random.split(key)
+                    ab, sb = augment_batch(akey, xb[..., 0], yb[..., 0], augment_cfg)
+                    xb = ab[..., None]
+                    yb = sb[..., None]
 
                 def loss_of(p):
                     probs, new_bs = apply_train(p, batch_stats, xb, key)

@@ -82,6 +82,19 @@ def test_classifier_with_class_weights_and_auc():
     assert best["val_auc"]["params"] is not None
 
 
+def test_training_with_on_device_augmentation(tiny_seg_data):
+    """augment_cfg trains through the on-device flip/affine pipeline
+    (the usable version of the reference's dead augmentation, Q7)."""
+    from onestop_tpu.config import AugmentConfig
+    x, y = tiny_seg_data
+    cfg = TrainConfig(batch_size=8, epochs=3, cosine_annealing=False, learning_rate=1e-3)
+    tr = Trainer(small_unet(), cfg, augment_cfg=AugmentConfig())
+    state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
+    state, hist, _ = tr.fit(state, x, y, x, y)
+    assert all(np.isfinite(v) for v in hist["loss"] + hist["val_loss"])
+    assert hist["loss"][-1] < hist["loss"][0]
+
+
 def test_checkpoint_roundtrip(tmp_path, tiny_seg_data):
     x, y = tiny_seg_data
     cfg = TrainConfig(batch_size=8, epochs=1, cosine_annealing=False)
