@@ -133,6 +133,87 @@ def plot_probability_distribution(y_true, y_score, threshold=0.5, path=None):
     return fig
 
 
+def plot_clahe_demo(img01, enhanced=None, path=None):
+    """CLAHE before/after demo: original CT + histogram, enhanced CT +
+    histogram in a 2×2 grid — the reference's ``clahe_enhancer(img, demo=1)``
+    panel (holdout.py:171-194). img01: float [0,1] (H, W); enhanced: optional
+    precomputed uint8 CLAHE output (computed here if omitted)."""
+    plt = _plt()
+    u8 = np.uint8(np.clip(np.asarray(img01, np.float64) * 255.0, 0, 255))
+    if enhanced is None:
+        from onestop_tpu.ops.clahe import clahe
+
+        enhanced = np.asarray(clahe(u8))
+    enhanced = np.asarray(enhanced)
+    fig, axes = plt.subplots(2, 2, figsize=(10, 10))
+    axes[0, 0].imshow(u8, cmap="bone")
+    axes[0, 0].set_title("Original CT-Scan")
+    axes[0, 0].axis("off")
+    axes[0, 1].hist(u8.ravel())
+    axes[0, 1].set_title("Histogram of Original CT-Scan")
+    axes[1, 0].imshow(enhanced, cmap="bone")
+    axes[1, 0].set_title("CLAHE Enhanced CT-Scan")
+    axes[1, 0].axis("off")
+    axes[1, 1].hist(enhanced.ravel())
+    axes[1, 1].set_title("Histogram of CLAHE Enhanced CT-Scan")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_cropper_demo(img01, fused=None, mask=None, path=None):
+    """ROI-cropper demo: original image, binary mask, fused two-lung crop —
+    the reference's ``cropper(img, demo=1)`` panel (holdout.py:249-273; the
+    demo branch there is commented out and references an undefined ``thresh``
+    — SURVEY.md §8 Q1 — so this is the working form of that intent).
+    img01: float [0,1] binary-valued lung mask; fused: optional precomputed
+    (250, 250) crop (computed via ops.crop.cropper if omitted)."""
+    plt = _plt()
+    u8 = np.uint8(np.clip(np.asarray(img01, np.float64) * 255.0, 0, 255))
+    if mask is None:
+        mask = u8 > 0
+    if fused is None:
+        from onestop_tpu.ops.crop import cropper
+
+        fused, _, _ = cropper(np.asarray(img01))
+    fig, axes = plt.subplots(1, 3, figsize=(15, 5))
+    axes[0].imshow(u8, cmap="bone")
+    axes[0].set_title("Original CT-Scan")
+    axes[1].imshow(np.asarray(mask), cmap="bone")
+    axes[1].set_title("Binary Mask")
+    axes[2].imshow(np.asarray(fused), cmap="bone")
+    axes[2].set_title("Cropped CT scan after making bounding rectangle")
+    for ax in axes:
+        ax.axis("off")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_confusion_matrix(confusion, threshold=0.5, path=None):
+    """Confusion-matrix plot — the reference's plot_metric.BinaryClassification
+    panel (task2:926-989). confusion: (tn, fp, fn, tp) as produced by
+    ``metrics.classification.confusion_at_threshold``."""
+    plt = _plt()
+    tn, fp, fn, tp = (int(v) for v in confusion)
+    cm = np.array([[tn, fp], [fn, tp]])
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    im = ax.imshow(cm, cmap="Blues")
+    for (i, j), v in np.ndenumerate(cm):
+        ax.text(j, i, f"{v:,}", ha="center", va="center",
+                color="white" if v > cm.max() / 2 else "black", fontsize=14)
+    ax.set_xticks([0, 1], ["pred 0", "pred 1"])
+    ax.set_yticks([0, 1], ["true 0", "true 1"])
+    ax.set_title(f"Confusion matrix (t={threshold:g})")
+    fig.colorbar(im, ax=ax, shrink=0.85)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_lr_schedule(lrs, title="Learning rate", path=None):
     """LR schedule plots (ref holdout.py:941-1035)."""
     plt = _plt()

@@ -30,6 +30,14 @@ def main(argv=None):
     parser.add_argument("--out-dir", default="artifacts")
     parser.add_argument("--small-run", action="store_true",
                         help="tiny synthetic smoke configuration")
+    parser.add_argument("--cache-dir", default=None,
+                        help="preprocessed-array cache directory (the reference's "
+                             "joblib pickle reload flow); second runs skip ingestion")
+    parser.add_argument("--use-augmentation", default=None,
+                        choices=("batch", "concat"),
+                        help="train-time augmentation: per-batch on-device, or "
+                             "materialize n_samples and concat (reference's "
+                             "commented-out merge)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -44,8 +52,12 @@ def main(argv=None):
 
     runner = RUNNERS[token]
     print(f"Running {runner.__name__} ...")
+    extra = {}
+    if args.use_augmentation and token not in ("one", "two"):  # CV runners: no aug path in the reference
+        extra["use_augmentation"] = args.use_augmentation
     results = runner(data_dir=args.data_dir, out_dir=args.out_dir,
-                     small_run=args.small_run, verbose=args.verbose)
+                     small_run=args.small_run, verbose=args.verbose,
+                     cache_dir=args.cache_dir, **extra)
     keys = [k for k in ("val_dice", "best_dice", "best_iou", "best_threshold",
                         "mean_fold_dice", "mean_fold_iou", "auc", "train_seconds")
             if k in results]

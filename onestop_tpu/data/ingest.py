@@ -81,22 +81,32 @@ def _kernel_boxes(masks01, tile_hw):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_hw",))
-def _kernel_ct(cts01, b1, b2, tile_hw):
-    """CLAHE + two-lung crop: the 'cts' pass (ref holdout.py:347-358)."""
-    def one(img01, bb1, bb2):
-        u8 = jnp.clip(jnp.floor(img01 * 255.0), 0, 255).astype(jnp.uint8)
+def _kernel_ct(cts_u8, b1, b2, tile_hw):
+    """CLAHE + two-lung crop: the 'cts' pass (ref holdout.py:347-358).
+
+    Takes uint8 input: the reference's ``np.uint8(img*255)`` truncates the
+    *float64* product, so the conversion happens host-side in f64
+    (``_to_u8``) — doing it on-device in f32 shifts ties like
+    0.6666666627×255 into the wrong bin."""
+    def one(u8, bb1, bb2):
         enh = clahe(u8)
         return fuse_lung_crops(enh.astype(jnp.float32), bb1, bb2, tile_hw)
-    return jax.vmap(one)(cts01.astype(jnp.float32), b1, b2)
+    return jax.vmap(one)(cts_u8, b1, b2)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_hw",))
-def _kernel_mask(masks01, b1, b2, tile_hw):
-    """×255 uint8 + two-lung crop: the 'infections' pass (ref holdout.py:360-368)."""
-    def one(img01, bb1, bb2):
-        u8 = jnp.clip(jnp.floor(img01 * 255.0), 0, 255).astype(jnp.float32)
-        return fuse_lung_crops(u8, bb1, bb2, tile_hw)
-    return jax.vmap(one)(masks01.astype(jnp.float32), b1, b2)
+def _kernel_mask(masks_u8, b1, b2, tile_hw):
+    """×255 uint8 + two-lung crop: the 'infections' pass (ref holdout.py:360-368).
+    uint8 input, converted host-side in f64 (see ``_kernel_ct``)."""
+    def one(u8, bb1, bb2):
+        return fuse_lung_crops(u8.astype(jnp.float32), bb1, bb2, tile_hw)
+    return jax.vmap(one)(masks_u8, b1, b2)
+
+
+def _to_u8(x01: np.ndarray) -> np.ndarray:
+    """``np.uint8(img*255)`` reference semantics: float64 product, truncation
+    (ref holdout.py:165-166, 360-364). Must stay in f64 until the cast."""
+    return np.uint8(np.clip(np.asarray(x01, np.float64) * 255.0, 0, 255))
 
 
 def _run_chunked(kernel, arrays, tile_hw=None):
@@ -150,10 +160,10 @@ def ingest_case(
 
     tile_hw = tuple(cfg.crop_tile)
     b1, b2, _ = _run_chunked(_kernel_boxes, [lungs_bin[kept]], tile_hw)
-    cts = _run_chunked(_kernel_ct, [ct_slices[kept], b1, b2], tile_hw)
+    cts = _run_chunked(_kernel_ct, [_to_u8(ct_slices[kept]), b1, b2], tile_hw)
     masks = None
     if infection_slices is not None:
-        masks = _run_chunked(_kernel_mask, [infection_slices[kept], b1, b2], tile_hw)
+        masks = _run_chunked(_kernel_mask, [_to_u8(infection_slices[kept]), b1, b2], tile_hw)
     return {"cts": cts, "masks": masks, "boxes1": b1, "boxes2": b2, "kept": kept}
 
 
@@ -164,15 +174,16 @@ def ingest_lung_case(
 ) -> dict:
     """Task3 per-slice loop (ref task3:343-362): boxes from the binarized
     lung mask itself; the mask is cropped too (it is the target).
-    Empty-lung slices are dropped (generalizes the reference's hardcoded
-    ``del`` of 6 corrupt slices, task3:334-337)."""
+    Empty-lung slices are dropped in addition to the configured corrupt-slice
+    excision (``excise_corrupt_slices``, applied by ``build_lung_dataset``
+    before this runs) — crops of an all-empty mask are degenerate."""
     lungs_bin = (lung_slices > 0).astype(np.float32)
     nonempty = lungs_bin.reshape(lungs_bin.shape[0], -1).max(axis=1) > 0
     kept = np.nonzero(nonempty)[0]
     tile_hw = tuple(cfg.crop_tile)
     b1, b2, _ = _run_chunked(_kernel_boxes, [lungs_bin[kept]], tile_hw)
-    cts = _run_chunked(_kernel_ct, [ct_slices[kept], b1, b2], tile_hw)
-    lungs = _run_chunked(_kernel_mask, [lungs_bin[kept], b1, b2], tile_hw)
+    cts = _run_chunked(_kernel_ct, [_to_u8(ct_slices[kept]), b1, b2], tile_hw)
+    lungs = _run_chunked(_kernel_mask, [_to_u8(lungs_bin[kept]), b1, b2], tile_hw)
     return {"cts": cts, "masks": lungs, "boxes1": b1, "boxes2": b2, "kept": kept}
 
 
@@ -237,16 +248,37 @@ def build_classification_dataset(case_slices, cfg: PreprocessConfig = Preprocess
     return cts[..., None], y
 
 
+def excise_corrupt_slices(arrays, ranges):
+    """Delete the configured global slice ranges from every aligned array —
+    the reference's hardcoded ``del lungs[1368:1372]; del cts[1368:1372]`` etc.
+    (ref task3:334-337). Ranges use Python slice semantics (out-of-range
+    starts/stops clip silently, exactly like ``del list[a:b]``)."""
+    if not ranges:
+        return arrays
+    n = arrays[0].shape[0]
+    keep = np.ones(n, bool)
+    for lo, hi in ranges:
+        keep[lo:hi] = False
+    return tuple(a[keep] for a in arrays)
+
+
 def build_lung_dataset(case_slices, cfg: PreprocessConfig = PreprocessConfig()):
     """Task3: (cts, lungs) as (N, 224, 224, 1) float32 in [0, 1]
-    (ref task3:343-362, 474-510)."""
-    cts_parts, mask_parts = [], []
+    (ref task3:343-362, 474-510).
+
+    Corrupt-slice excision (``cfg.corrupt_slices``) applies to *global* slice
+    indices across the concatenated per-case stacks, pre-preprocessing — the
+    index space the reference's hardcoded ``del`` statements act on
+    (ref task3:334-337, after the 20-case read loop at :313-315)."""
+    ct_parts, lung_parts = [], []
     for ct_s, lung_s in case_slices:
-        out = ingest_lung_case(ct_s, lung_s, cfg)
-        cts_parts.append(out["cts"])
-        mask_parts.append(out["masks"])
-    cts = np.concatenate(cts_parts, axis=0)
-    lungs = np.concatenate(mask_parts, axis=0)
+        ct_parts.append(ct_s)
+        lung_parts.append(lung_s)
+    ct_all = np.concatenate(ct_parts, axis=0)
+    lung_all = np.concatenate(lung_parts, axis=0)
+    ct_all, lung_all = excise_corrupt_slices((ct_all, lung_all), cfg.corrupt_slices)
+    out = ingest_lung_case(ct_all, lung_all, cfg)
+    cts, lungs = out["cts"], out["masks"]
     cts = _trunc_uint8(_resize_batch_linear(cts, cfg.new_dim)).astype(np.float32) / 255.0
     lungs = _trunc_uint8(_resize_batch_linear(lungs, cfg.new_dim)).astype(np.float32) / 255.0
     return cts[..., None], lungs[..., None]

@@ -9,6 +9,14 @@ weights on the padding — same arithmetic, static shapes).
 
 Numerics: K.epsilon() == 1e-7; binary_crossentropy clips probabilities to
 [eps, 1-eps] like Keras's prob->logit path.
+
+Data parallelism: every loss/metric here reduces over the *whole batch*
+(dice sums, BCE weighted means). Under a sharded batch, passing
+``axis_name='data'`` makes those reductions global (``lax.psum`` across the
+mesh axis), so the loss VALUE — and therefore its gradients, after the
+trainer psums the per-shard contributions — is bit-for-bit the single-device
+batch-global quantity. Splitting a dice loss per shard and averaging would
+be a *different* loss; this keeps the reference's batch-global semantics.
 """
 
 from __future__ import annotations
@@ -30,31 +38,42 @@ def _broadcast(w: Array, ndim: int) -> Array:
     return w.reshape((-1,) + (1,) * (ndim - 1))
 
 
-def binary_crossentropy(y_true: Array, y_pred: Array, weights: Array | None = None) -> Array:
+def _gsum(x: Array, axis_name: str | None) -> Array:
+    """Batch-global sum: local sum, then psum over the DP mesh axis if any."""
+    s = jnp.sum(x)
+    return jax.lax.psum(s, axis_name) if axis_name else s
+
+
+def binary_crossentropy(y_true: Array, y_pred: Array, weights: Array | None = None,
+                        axis_name: str | None = None) -> Array:
     """Mean elementwise BCE on clipped probabilities (Keras semantics)."""
     p = jnp.clip(y_pred, EPSILON, 1.0 - EPSILON)
     ce = -(y_true * jnp.log(p) + (1.0 - y_true) * jnp.log(1.0 - p))
     w = _broadcast(_sample_weights(y_true, weights), y_true.ndim)
     per_elem = jnp.ones_like(ce) * w
-    return jnp.sum(ce * w) / jnp.maximum(jnp.sum(per_elem), EPSILON)
+    return _gsum(ce * w, axis_name) / jnp.maximum(_gsum(per_elem, axis_name), EPSILON)
 
 
-def dice_coeff(y_true: Array, y_pred: Array, weights: Array | None = None, smooth: float = 1.0) -> Array:
+def dice_coeff(y_true: Array, y_pred: Array, weights: Array | None = None, smooth: float = 1.0,
+               axis_name: str | None = None) -> Array:
     """Soft dice over the whole (weighted) batch, smooth=1 (ref :784-790)."""
     w = _broadcast(_sample_weights(y_true, weights), y_true.ndim)
     t = (y_true * w).astype(jnp.float32)
     p = (y_pred * w).astype(jnp.float32)
-    intersection = jnp.sum(t * y_pred)
-    return (2.0 * intersection + smooth) / (jnp.sum(t) + jnp.sum(p) + smooth)
+    intersection = _gsum(t * y_pred, axis_name)
+    return (2.0 * intersection + smooth) / (_gsum(t, axis_name) + _gsum(p, axis_name) + smooth)
 
 
-def dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None) -> Array:
-    return 1.0 - dice_coeff(y_true, y_pred, weights)
+def dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None,
+              axis_name: str | None = None) -> Array:
+    return 1.0 - dice_coeff(y_true, y_pred, weights, axis_name=axis_name)
 
 
-def bce_dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None) -> Array:
+def bce_dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None,
+                  axis_name: str | None = None) -> Array:
     """0.5·BCE + 0.5·dice_loss (ref :797-799) — the segmentation loss."""
-    return 0.5 * binary_crossentropy(y_true, y_pred, weights) + 0.5 * dice_loss(y_true, y_pred, weights)
+    return (0.5 * binary_crossentropy(y_true, y_pred, weights, axis_name=axis_name)
+            + 0.5 * dice_loss(y_true, y_pred, weights, axis_name=axis_name))
 
 
 def tversky_loss(y_true: Array, y_pred: Array, alpha: float = 0.5, beta: float = 0.5) -> Array:
@@ -111,21 +130,21 @@ def weighted_bce_dice_loss(y_true: Array, y_pred: Array) -> Array:
 
 # --- classification metrics (batchwise, K.round/K.clip semantics) ----------
 
-def recall_metric(y_true: Array, y_pred: Array) -> Array:
-    tp = jnp.sum(jnp.round(jnp.clip(y_true * y_pred, 0, 1)))
-    possible = jnp.sum(jnp.round(jnp.clip(y_true, 0, 1)))
+def recall_metric(y_true: Array, y_pred: Array, axis_name: str | None = None) -> Array:
+    tp = _gsum(jnp.round(jnp.clip(y_true * y_pred, 0, 1)), axis_name)
+    possible = _gsum(jnp.round(jnp.clip(y_true, 0, 1)), axis_name)
     return tp / (possible + EPSILON)
 
 
-def precision_metric(y_true: Array, y_pred: Array) -> Array:
-    tp = jnp.sum(jnp.round(jnp.clip(y_true * y_pred, 0, 1)))
-    predicted = jnp.sum(jnp.round(jnp.clip(y_pred, 0, 1)))
+def precision_metric(y_true: Array, y_pred: Array, axis_name: str | None = None) -> Array:
+    tp = _gsum(jnp.round(jnp.clip(y_true * y_pred, 0, 1)), axis_name)
+    predicted = _gsum(jnp.round(jnp.clip(y_pred, 0, 1)), axis_name)
     return tp / (predicted + EPSILON)
 
 
-def f1_metric(y_true: Array, y_pred: Array) -> Array:
-    p = precision_metric(y_true, y_pred)
-    r = recall_metric(y_true, y_pred)
+def f1_metric(y_true: Array, y_pred: Array, axis_name: str | None = None) -> Array:
+    p = precision_metric(y_true, y_pred, axis_name=axis_name)
+    r = recall_metric(y_true, y_pred, axis_name=axis_name)
     return 2.0 * (p * r) / (p + r + EPSILON)
 
 

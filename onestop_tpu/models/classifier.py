@@ -19,6 +19,7 @@ class ClassifierCNN(nn.Module):
     dense: int = 32
     dropout: float = 0.4
     dtype: jnp.dtype = jnp.float32
+    bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -28,7 +29,7 @@ class ClassifierCNN(nn.Module):
                 x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
                             dtype=self.dtype, name=f"s{i}_conv{j}")(x)
                 x = nn.relu(x)
-                x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}")(x)
+                x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}", axis_name=self.bn_axis)(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.dense, kernel_init=glorot_uniform(),

@@ -16,13 +16,18 @@ BN_MOMENTUM = 0.99
 BN_EPSILON = 1e-3
 
 
-def batch_norm(train: bool, dtype=jnp.float32, name=None) -> nn.BatchNorm:
+def batch_norm(train: bool, dtype=jnp.float32, name=None, axis_name=None) -> nn.BatchNorm:
+    """axis_name: mesh axis for cross-device (sync) batch statistics — under
+    data parallelism the batch is sharded over 'data', and syncing BN stats
+    keeps training numerics identical to the single-device run (the
+    reference is single-device Keras, so sync-BN IS the parity behavior)."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPSILON,
         dtype=dtype,
         name=name,
+        axis_name=axis_name,
     )
 
 

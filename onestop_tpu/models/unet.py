@@ -25,6 +25,7 @@ class UNet(nn.Module):
     dropout: float = 0.25
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,7 +42,7 @@ class UNet(nn.Module):
         for i, w in enumerate(self.widths):
             x = nn.relu(conv(w, f"enc{i}_conv0")(x))
             x = nn.relu(conv(w, f"enc{i}_conv1")(x))
-            x = batch_norm(train, self.dtype, name=f"enc{i}_bn")(x)
+            x = batch_norm(train, self.dtype, name=f"enc{i}_bn", axis_name=self.bn_axis)(x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = nn.Dropout(self.dropout, deterministic=not train, name=f"enc{i}_drop")(x)
@@ -52,7 +53,7 @@ class UNet(nn.Module):
         for i, w in reversed(list(enumerate(self.widths))):
             x = convt(w, f"dec{i}_up")(x)
             x = jnp.concatenate([x, skips[i]], axis=-1)
-            x = batch_norm(train, self.dtype, name=f"dec{i}_bn")(x)
+            x = batch_norm(train, self.dtype, name=f"dec{i}_bn", axis_name=self.bn_axis)(x)
             x = nn.relu(conv(w, f"dec{i}_conv0")(x))
             x = nn.relu(conv(w, f"dec{i}_conv1")(x))
 

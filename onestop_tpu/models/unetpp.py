@@ -25,6 +25,7 @@ class UNetPP(nn.Module):
     block_dropout: float = 0.4
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
+    bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
 
     def _conv(self, w, name):
         return nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
@@ -43,15 +44,15 @@ class UNetPP(nn.Module):
             h = nn.elu(self._conv(w, f"{name}_conv0")(h))
             h = drop(self.backbone_dropout, f"{name}_drop")(h)
             h = nn.elu(self._conv(w, f"{name}_conv1")(h))
-            return batch_norm(train, self.dtype, name=f"{name}_bn")(h)
+            return batch_norm(train, self.dtype, name=f"{name}_bn", axis_name=self.bn_axis)(h)
 
         def conv_block(h, w, name):
             h = nn.elu(self._conv(w, f"{name}_conv0")(h))
             h = drop(self.block_dropout, f"{name}_drop0")(h)
-            h = batch_norm(train, self.dtype, name=f"{name}_bn0")(h)
+            h = batch_norm(train, self.dtype, name=f"{name}_bn0", axis_name=self.bn_axis)(h)
             h = nn.elu(self._conv(w, f"{name}_conv1")(h))
             h = drop(self.block_dropout, f"{name}_drop1")(h)
-            return batch_norm(train, self.dtype, name=f"{name}_bn1")(h)
+            return batch_norm(train, self.dtype, name=f"{name}_bn1", axis_name=self.bn_axis)(h)
 
         w1, w2, w3, w4 = self.widths
         c1 = backbone_block(x, w1, "c1")

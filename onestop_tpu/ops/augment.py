@@ -103,3 +103,50 @@ def augment_batch(key: jax.Array, images: Array, segmaps: Array, cfg) -> tuple[A
     """vmapped joint augmentation over (B, H, W) batches."""
     keys = jax.random.split(key, images.shape[0])
     return jax.vmap(lambda k, i, s: random_augment_pair(k, i, s, cfg))(keys, images, segmaps)
+
+
+def random_augment_image(key: jax.Array, image: Array, cfg) -> Array:
+    """Image-only augmentation (the classifier path). Same pipeline as
+    ``random_augment_pair`` without a segmentation map — this is the *fixed*
+    form of the reference's task2 block, which augmented (image, mask) pairs
+    and then shuffled images and masks independently, corrupting the
+    label correspondence (ref task2:575-619; SURVEY.md §8 Q6). Labels ride
+    along unchanged outside this function, so alignment is preserved by
+    construction."""
+    h, w = image.shape
+    k_lr, k_ud, k_aff_p, k_aff = jax.random.split(key, 4)
+    img = image.astype(jnp.float32)
+    do_lr = jax.random.uniform(k_lr) < cfg.p_fliplr
+    img = jnp.where(do_lr, img[:, ::-1], img)
+    do_ud = jax.random.uniform(k_ud) < cfg.p_flipud
+    img = jnp.where(do_ud, img[::-1, :], img)
+    inv = _affine_matrix(k_aff, h, w, cfg)
+    do_aff = jax.random.uniform(k_aff_p) < cfg.p_affine
+    return jnp.where(do_aff, _warp(img, inv, order=1), img)
+
+
+def augment_image_batch(key: jax.Array, images: Array, cfg) -> Array:
+    """vmapped image-only augmentation over a (B, H, W) batch."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(lambda k, i: random_augment_image(k, i, cfg))(keys, images)
+
+
+def sample_and_augment(key: jax.Array, images: Array, segmaps: Array | None, cfg):
+    """Materialize ``cfg.n_samples`` augmented samples from random indices —
+    the reference's aug-gallery block (``holdout.py:547-584``: draw 200
+    (task1) / 100 (task2) / 50 (task3) random pairs, run the imgaug pipeline
+    on them). The reference computes these and leaves the train-set merge
+    commented out (SURVEY.md §8 Q7); callers here may concatenate the result
+    onto the training arrays (runners' ``use_augmentation='concat'``).
+
+    images: (N, H, W); segmaps: (N, H, W) or None (image-only / classifier).
+    Returns (indices (n,), aug_images (n, H, W)[, aug_segmaps (n, H, W)]).
+    """
+    k_idx, k_aug = jax.random.split(key)
+    idx = jax.random.randint(k_idx, (cfg.n_samples,), 0, images.shape[0])
+    xi = jnp.take(images, idx, axis=0)
+    if segmaps is None:
+        return idx, augment_image_batch(k_aug, xi, cfg)
+    si = jnp.take(segmaps, idx, axis=0)
+    ai, asg = augment_batch(k_aug, xi, si, cfg)
+    return idx, ai, asg

@@ -132,9 +132,20 @@ def clahe_batch(imgs: Array, clip_limit: float = 3.0, grid: tuple[int, int] = (8
     return jax.vmap(lambda x: clahe(x, clip_limit=clip_limit, grid=grid))(imgs)
 
 
-def clahe_enhance_float(img01: Array, clip_limit: float = 3.0, grid: tuple[int, int] = (8, 8)) -> Array:
+def clahe_enhance_float(img01, clip_limit: float = 3.0, grid: tuple[int, int] = (8, 8)) -> Array:
     """Reference `clahe_enhancer` semantics: float [0,1] -> ×255 -> uint8 ->
-    CLAHE -> uint8 result (``holdout.py:163-170``). Truncation (np.uint8 cast),
-    not rounding, to match ``np.uint8(img*255)``."""
-    u8 = jnp.clip(jnp.floor(img01 * 255.0), 0, 255).astype(jnp.uint8)
+    CLAHE -> uint8 result (``holdout.py:163-170``).
+
+    The ×255 truncation is done host-side in float64 to match
+    ``np.uint8(img*255)`` bit-for-bit: the reference truncates the *float64*
+    product, and values like 0.6666666627 (×255 = 169.999999… in f64 but
+    170.0 after f32 rounding) land in a different uint8 bin if the multiply
+    happens in f32. Device (traced) inputs have already been rounded to f32;
+    for those the f64 widening of the f32 value is exact, so the same host
+    conversion applied to ``np.asarray(x)`` is still the correct truncation
+    of the value actually held.
+    """
+    import numpy as np
+
+    u8 = jnp.asarray(np.uint8(np.clip(np.asarray(img01, np.float64) * 255.0, 0, 255)))
     return clahe(u8, clip_limit=clip_limit, grid=grid)

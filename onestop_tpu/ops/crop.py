@@ -32,15 +32,22 @@ def fuse_lung_crops(
     return jnp.concatenate([t1, t2], axis=-1)
 
 
-def cropper(img01: Array, tile_hw: tuple[int, int] = (250, 125)):
+def cropper(img01, tile_hw: tuple[int, int] = (250, 125)):
     """Reference ``cropper(test_img, demo=0)`` equivalent on a float [0,1]
     image that is already binary-valued (the lung-mask path, ``holdout.py:339-345``
     binarizes with ``img[img>0]=1`` before calling it).
 
+    The ×255 → uint8 step truncates the float64 product host-side, matching
+    ``np.uint8(img*255)`` exactly (an on-device f32 multiply shifts values
+    whose f64 product sits just below an integer). Host entry point — the
+    batched jitted path is ``fuse_lung_crops`` with precomputed boxes.
+
     Returns (fused (250, 250) float image scaled like the uint8 path,
     box1, box2) with boxes as (x, y, w, h) int32.
     """
-    u8 = jnp.clip(jnp.floor(img01 * 255.0), 0, 255).astype(jnp.uint8)
+    import numpy as np
+
+    u8 = jnp.asarray(np.uint8(np.clip(np.asarray(img01, np.float64) * 255.0, 0, 255)))
     mask = u8 > 0
     box1, box2, _ = two_lung_bboxes(mask)
     fused = fuse_lung_crops(u8.astype(jnp.float32), box1, box2, tile_hw)

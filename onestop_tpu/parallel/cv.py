@@ -49,6 +49,19 @@ class FoldParallelTrainer:
         self.remat = remat  # rematerialize fold forward passes: n_folds
         # models' activations live simultaneously per device group, so trade
         # FLOPs for HBM (jax.checkpoint) by default
+        # data parallelism inside a fold: each fold group's devices shard the
+        # per-step batch over 'data' and pmean/psum keep replicas exact
+        # (SURVEY.md §2.4: "pmean for DP gradient reduction inside a fold")
+        self.dp_size = 1
+        if mesh is not None:
+            self.dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+        if self.dp_size > 1:
+            if cfg.batch_size % self.dp_size:
+                raise ValueError(
+                    f"batch_size={cfg.batch_size} must divide evenly over the "
+                    f"'data' mesh axis (size {self.dp_size})")
+            if getattr(model, "bn_axis", None) is None and hasattr(model, "bn_axis"):
+                self.model = model.clone(bn_axis="data")  # sync-BN inside a fold
         loss = loss if loss is not None else cfg.loss
         self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
         self.tx = make_adam(cfg)
@@ -83,7 +96,14 @@ class FoldParallelTrainer:
         return states
 
     def _build(self):
-        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        model, tx = self.model, self.tx
+        dp = "data" if self.dp_size > 1 else None
+        from onestop_tpu.train.trainer import _with_axis
+        loss_fn = _with_axis(self.loss_fn, dp)
+        metric_fn = _with_axis(L.dice_coeff, dp)
+
+        def gsum(x):
+            return L._gsum(x, dp)
 
         def forward(pp, bs_, xb, key):
             return model.apply(
@@ -102,15 +122,24 @@ class FoldParallelTrainer:
                 idx, wb, key = xs
                 xb = x[idx]
                 yb = y[idx]
+                if dp is not None:  # distinct dropout masks per batch shard
+                    key = jax.random.fold_in(key, jax.lax.axis_index(dp))
 
                 def loss_of(pp):
                     probs, mut = forward(pp, bs_, xb, key)
                     l = loss_fn(yb, probs, weights=wb)
-                    m = L.dice_coeff(yb * L._broadcast(wb, yb.ndim),
-                                     probs * L._broadcast(wb, probs.ndim))
+                    m = metric_fn(yb * L._broadcast(wb, yb.ndim),
+                                  probs * L._broadcast(wb, probs.ndim))
                     return l, (mut["batch_stats"], m)
 
                 (l, (new_bs, m)), grads = jax.value_and_grad(loss_of, has_aux=True)(p)
+                if dp is not None:
+                    # loss is batch-global (psum-aware reductions); shard_map
+                    # transposes those psums as psum (cotangents ×axis_size),
+                    # so pmean over the intra-fold 'data' axis reconstructs
+                    # the exact full-batch gradient (SURVEY.md §2.4: "pmean
+                    # for DP gradient reduction inside a fold")
+                    grads = jax.lax.pmean(grads, dp)
                 updates, new_opt = tx.update(grads, opt, p)
                 updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
                 new_p = optax.apply_updates(p, updates)
@@ -118,7 +147,7 @@ class FoldParallelTrainer:
                 p = jax.tree_util.tree_map(sel, new_p, p)
                 bs_ = jax.tree_util.tree_map(sel, new_bs, bs_)
                 opt = jax.tree_util.tree_map(sel, new_opt, opt)
-                return (p, bs_, opt), (l, m, jnp.sum(wb))
+                return (p, bs_, opt), (l, m, gsum(wb))
 
             (params, batch_stats, opt_state), (ls, ms, ws) = jax.lax.scan(
                 step, (params, batch_stats, opt_state), (idx_grid, w_grid, keys)
@@ -138,16 +167,19 @@ class FoldParallelTrainer:
             )
 
         if self.mesh is not None:
-            # shard_map over the fold axis: each device group compiles a plain
-            # (ungrouped) conv for its local folds. A bare vmap+jit would
-            # lower fold-stacked convs to feature_group convolutions, which
-            # GSPMD cannot partition on the group dimension.
-            from jax.sharding import PartitionSpec as P
+            # shard_map over the (fold, data) mesh: each device group compiles
+            # a plain (ungrouped) conv for its local folds, and the per-step
+            # batch axis of the index/weight grids shards over 'data' so the
+            # devices inside a fold group split the batch (real DP — the
+            # collectives above stitch it back). A bare vmap+jit would lower
+            # fold-stacked convs to feature_group convolutions, which GSPMD
+            # cannot partition on the group dimension.
             fold = P("fold")
+            grid = P("fold", None, "data")   # (folds, steps, batch)
             repl = P()
             epoch_core = jax.shard_map(
                 epoch_core, mesh=self.mesh,
-                in_specs=(fold, repl, repl, fold, fold, fold, repl, fold),
+                in_specs=(fold, repl, repl, grid, grid, fold, repl, fold),
                 out_specs=(fold, fold, fold),
                 check_vma=False,
             )
@@ -158,9 +190,9 @@ class FoldParallelTrainer:
                 probs = model.apply({"params": params, "batch_stats": batch_stats},
                                     x[idx], train=False)
                 l = loss_fn(y[idx], probs, weights=wb)
-                m = L.dice_coeff(y[idx] * L._broadcast(wb, y[idx].ndim),
-                                 probs * L._broadcast(wb, probs.ndim))
-                return None, (l, m, jnp.sum(wb))
+                m = metric_fn(y[idx] * L._broadcast(wb, y[idx].ndim),
+                              probs * L._broadcast(wb, probs.ndim))
+                return None, (l, m, gsum(wb))
             _, (ls, ms, ws) = jax.lax.scan(step, None, (idx_grid, w_grid))
             wsum = jnp.maximum(jnp.sum(ws), 1.0)
             return jnp.sum(ls * ws) / wsum, jnp.sum(ms * ws) / wsum
@@ -171,12 +203,12 @@ class FoldParallelTrainer:
             )
 
         if self.mesh is not None:
-            from jax.sharding import PartitionSpec as P
             fold = P("fold")
+            grid = P("fold", None, "data")
             repl = P()
             eval_core = jax.shard_map(
                 eval_core, mesh=self.mesh,
-                in_specs=(fold, repl, repl, fold, fold),
+                in_specs=(fold, repl, repl, grid, grid),
                 out_specs=(fold, fold),
                 check_vma=False,
             )

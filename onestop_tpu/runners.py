@@ -108,6 +108,41 @@ def _out(out_dir) -> Path:
     return p
 
 
+def _maybe_cached(build_fn, cache_dir, task_name: str, pre_cfg, names):
+    """Build-or-load the preprocessed arrays — the reference's joblib pickle
+    reload flow (dumps at holdout.py:648-666, reload
+    task1_crossval_3folds_unet.py:690-692). Keyed on (task, preprocess-config
+    hash) so a config change never serves stale arrays."""
+    if cache_dir is None:
+        return build_fn()
+    import hashlib
+
+    from onestop_tpu.data.cache import cached_dataset
+
+    h = hashlib.md5(repr(pre_cfg).encode()).hexdigest()[:10]
+    return cached_dataset(build_fn, Path(cache_dir) / f"{task_name}_{h}", names)
+
+
+def _concat_augmented(x, y, aug_cfg, seed: int, images_only: bool = False):
+    """Materialize aug_cfg.n_samples augmented samples and append them to the
+    training arrays — the train-set merge the reference computes but leaves
+    commented out (holdout.py:615-619; SURVEY.md §8 Q7). For the classifier
+    (images_only), labels are carried by index, fixing the reference's
+    independent-shuffle correspondence bug (task2:615-619, §8 Q6)."""
+    from onestop_tpu.ops.augment import sample_and_augment
+
+    key = jax.random.PRNGKey(seed)
+    if images_only:
+        idx, ax = sample_and_augment(key, jnp.asarray(x[..., 0]), None, aug_cfg)
+        idx = np.asarray(idx)
+        return (np.concatenate([x, np.asarray(ax)[..., None]]),
+                np.concatenate([y, y[idx]]))
+    idx, ax, ay = sample_and_augment(key, jnp.asarray(x[..., 0]),
+                                     jnp.asarray(y[..., 0]), aug_cfg)
+    return (np.concatenate([x, np.asarray(ax)[..., None]]),
+            np.concatenate([y, np.asarray(ay)[..., None]]))
+
+
 def _save_json(path: Path, obj):
     def clean(o):
         if isinstance(o, dict):
@@ -133,17 +168,30 @@ def _build_unet(task_cfg: C.TaskConfig):
 
 
 def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
-                              name: str, verbose=False, use_augmentation=False):
+                              name: str, verbose=False, use_augmentation=False,
+                              mesh=None):
+    """use_augmentation: False (reference's published runs — aug computed but
+    never trained on, SURVEY.md §8 Q7), 'batch'/True (on-device joint aug of
+    every training batch), or 'concat' (materialize augment.n_samples
+    augmented pairs and append to the train set — the reference's
+    commented-out merge, holdout.py:615-619).
+
+    mesh: data-parallel training over the mesh's 'data' axis (batch sharded,
+    grads pmean'd, sync-BN) — the reference is single-device; this is the
+    SURVEY §2.4/§5.8 scaling path."""
     out_dir = _out(out_dir)
     sp = task_cfg.split
     tr_idx, te_idx = train_test_split_indices(len(x), sp.test_size, sp.seed)
     x_train, y_train = x[tr_idx], y[tr_idx]
     x_val, y_val = x[te_idx], y[te_idx]
 
-    # on-device joint augmentation, off by default like the reference's
-    # published runs (SURVEY.md §8 Q7 — it computes but never trains on aug)
+    if use_augmentation == "concat":
+        x_train, y_train = _concat_augmented(x_train, y_train, task_cfg.augment,
+                                             task_cfg.train.shuffle_seed)
+    per_batch = use_augmentation in (True, "batch")
     trainer = Trainer(model, task_cfg.train,
-                      augment_cfg=task_cfg.augment if use_augmentation else None)
+                      augment_cfg=task_cfg.augment if per_batch else None,
+                      mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
     t0 = time.perf_counter()
     state, history, best = trainer.fit(state, x_train, y_train, x_val, y_val,
@@ -282,9 +330,19 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
 # the six runners
 # ---------------------------------------------------------------------------
 
+def _seg_data(data, data_dir, task_cfg, cache_dir, task_name, kw):
+    if data is not None:
+        return data
+    def _build():
+        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+        return build_segmentation_dataset(triples, task_cfg.preprocess)
+    return _maybe_cached(_build, cache_dir, task_name, task_cfg.preprocess,
+                         ("cts_cropped_lungs_224", "infections_cropped_lungs_224"))
+
+
 def holdout_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    cluster_analysis=True, **kw
+    cluster_analysis=True, use_augmentation=False, cache_dir=None, mesh=None, **kw
 ):
     """Task1 holdout U-Net (ref task1_preprocessing_plus_unet_with_comments.py:6),
     including the latent PCA+KMeans clustering study on the last decoder
@@ -292,14 +350,11 @@ def holdout_runner_unet_infection_segmentation(
     task_cfg = C.task1_holdout()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
-    if data is None:
-        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
-        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
-    else:
-        x, y = data
+    x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     model = _build_unet(task_cfg)
     res = _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
-                                    "unet_covid_holdout", verbose=verbose)
+                                    "unet_covid_holdout", verbose=verbose,
+                                    use_augmentation=use_augmentation, mesh=mesh)
     if cluster_analysis:
         from onestop_tpu.analysis.clustering import latent_cluster_analysis
         x_val, y_val, _ = res["val"]
@@ -321,7 +376,7 @@ def holdout_runner_unet_infection_segmentation(
 
 def three_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="auto", **kw
+    verbose=False, cv_mode="auto", cache_dir=None, **kw
 ):
     """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
     in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
@@ -333,18 +388,14 @@ def three_fold_runner_unet_infection_segmentation(
         task_cfg = _small(task_cfg, epochs=3)
         task_cfg = dataclasses.replace(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(3, 2, 2)))
-    if data is None:
-        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
-        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
-    else:
-        x, y = data
+    x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
                                 mesh=mesh, verbose=verbose, cv_mode=cv_mode)
 
 
 def four_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="auto", **kw
+    verbose=False, cv_mode="auto", cache_dir=None, **kw
 ):
     """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
     task_cfg = C.task1_4fold()
@@ -352,62 +403,79 @@ def four_fold_runner_unet_infection_segmentation(
         task_cfg = _small(task_cfg, epochs=2)
         task_cfg = dataclasses.replace(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(2, 2, 2, 2)))
-    if data is None:
-        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
-        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
-    else:
-        x, y = data
+    x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",
                                 mesh=mesh, verbose=verbose, cv_mode=cv_mode)
 
 
 def holdout_runner_unetplusplus_infection_segmentation(
-    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False, **kw
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
+    use_augmentation=False, cache_dir=None, mesh=None, **kw
 ):
     """Task1 U-Net++ holdout (ref task1_unet_plus_plus.py:6)."""
     task_cfg = C.task1_unetpp()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
-    if data is None:
-        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
-        x, y = build_segmentation_dataset(triples, task_cfg.preprocess)
-    else:
-        x, y = data
+    x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     m = task_cfg.model
     model = UNetPP(widths=tuple(m.unetpp_widths),
                    backbone_dropout=m.unetpp_backbone_dropout,
                    block_dropout=m.unetpp_block_dropout,
                    dtype=jnp.dtype(m.compute_dtype))
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
-                                     "unetpp_covid_holdout", verbose=verbose)
+                                     "unetpp_covid_holdout", verbose=verbose,
+                                     use_augmentation=use_augmentation, mesh=mesh)
 
 
 def runner_classification(
-    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False, **kw
+    data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
+    use_augmentation=False, cache_dir=None, mesh=None, **kw
 ):
     """Task2 COVID-19 slice classification (ref task2_covid19_classifcation.py:6):
     stratified 70/30 split, balanced class weights, AUC tracking (RocCallback
-    equivalent), report at thresholds 0.50/0.81."""
+    equivalent), report at thresholds 0.50/0.81.
+
+    use_augmentation: 'concat' materializes augment.n_samples image-only
+    augmented samples appended to the train split with labels carried by
+    index — the *fixed* form of the reference's corrupted-correspondence aug
+    block (task2:575-619, SURVEY.md §8 Q6); 'batch'/True augments every
+    training batch on device (image-only)."""
     task_cfg = C.task2_classification()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 4))
     out_path = _out(out_dir)
     if data is None:
-        triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
-        x, y = build_classification_dataset(triples, task_cfg.preprocess)
+        def _build():
+            t = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
+            return build_classification_dataset(t, task_cfg.preprocess)
+        x, y = _maybe_cached(_build, cache_dir, "task2", task_cfg.preprocess,
+                             ("cts_cropped_lungs_224", "y_label"))
     else:
         x, y = data
     y = np.asarray(y).astype(np.float32)
 
-    tr_idx, te_idx = stratified_shuffle_split_indices(y, task_cfg.split.test_size,
-                                                      task_cfg.split.seed)
+    # cfg.split.stratified selects the splitter (ref task2:647-651 uses
+    # StratifiedShuffleSplit; the plain holdout split is train_test_split)
+    if task_cfg.split.stratified:
+        tr_idx, te_idx = stratified_shuffle_split_indices(
+            y, task_cfg.split.test_size, task_cfg.split.seed)
+    else:
+        tr_idx, te_idx = train_test_split_indices(
+            len(y), task_cfg.split.test_size, task_cfg.split.seed)
     x_train, y_train = x[tr_idx], y[tr_idx][:, None]
     x_val, y_val = x[te_idx], y[te_idx][:, None]
 
+    if use_augmentation == "concat":
+        x_train, y_train = _concat_augmented(x_train, y_train, task_cfg.augment,
+                                             task_cfg.train.shuffle_seed,
+                                             images_only=True)
+    per_batch = use_augmentation in (True, "batch")
     m = task_cfg.model
     model = ClassifierCNN(widths=tuple(m.cls_widths), dense=m.cls_dense,
                           dropout=m.cls_dropout, dtype=jnp.dtype(m.compute_dtype))
-    trainer = Trainer(model, task_cfg.train, seg_metrics=False)
+    trainer = Trainer(model, task_cfg.train, seg_metrics=False,
+                      augment_cfg=task_cfg.augment if per_batch else None,
+                      augment_images_only=True, mesh=mesh)
     state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
 
     sw = None
@@ -444,7 +512,7 @@ def runner_classification(
 
 def runner_lung_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    use_augmentation=False, **kw
+    use_augmentation=False, cache_dir=None, mesh=None, **kw
 ):
     """Task3 lung segmentation U-Net (ref task3_lung_segmentation_unet.py:6) —
     the minimum end-to-end slice M1 (SURVEY.md §7)."""
@@ -452,15 +520,18 @@ def runner_lung_segmentation(
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
     if data is None:
-        pairs = list(_case_slice_triples(data_dir, task_cfg.preprocess,
-                                         with_infection=False, **kw))
-        x, y = build_lung_dataset(pairs, task_cfg.preprocess)
+        def _build():
+            pairs = list(_case_slice_triples(data_dir, task_cfg.preprocess,
+                                             with_infection=False, **kw))
+            return build_lung_dataset(pairs, task_cfg.preprocess)
+        x, y = _maybe_cached(_build, cache_dir, "task3", task_cfg.preprocess,
+                             ("cts_cropped_lungs_224", "lungs_cropped_224"))
     else:
         x, y = data
     model = _build_unet(task_cfg)
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
                                      "unet_lung_segmentation", verbose=verbose,
-                                     use_augmentation=use_augmentation)
+                                     use_augmentation=use_augmentation, mesh=mesh)
 
 
 RUNNERS = {

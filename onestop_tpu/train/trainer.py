@@ -54,6 +54,22 @@ def make_adam(cfg: TrainConfig):
     return optax.scale_by_adam(b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps)
 
 
+def _with_axis(fn: Callable, axis_name: str | None) -> Callable:
+    """Bind axis_name into a loss/metric if it supports it (all onestop
+    losses do); custom callables without the kwarg are used as-is (their
+    reductions are then shard-local — only correct off the DP path)."""
+    if axis_name is None:
+        return fn
+    import inspect
+
+    try:
+        if "axis_name" in inspect.signature(fn).parameters:
+            return functools.partial(fn, axis_name=axis_name)
+    except (TypeError, ValueError):  # builtins / partials without signatures
+        pass
+    return fn
+
+
 class Trainer:
     """Fit a flax model the way the reference fits its Keras models."""
 
@@ -64,17 +80,43 @@ class Trainer:
         loss: str | Callable | None = None,
         seg_metrics: bool = True,
         augment_cfg=None,
+        augment_images_only: bool = False,
+        mesh=None,
+        dp_axis: str = "data",
     ):
         """augment_cfg: optional AugmentConfig — applies the on-device
-        flip/affine pipeline (ops.augment) jointly to every training batch.
+        flip/affine pipeline (ops.augment) to every training batch: jointly
+        with the target segmap by default, or image-only when
+        augment_images_only (the classifier path — labels are not spatial).
         The reference builds this pipeline but never feeds it to training
-        (SURVEY.md §8 Q7); here it is a usable option, off by default."""
+        (SURVEY.md §8 Q7); here it is a usable option, off by default.
+
+        mesh/dp_axis: data-parallel training over the mesh's ``dp_axis``
+        (SURVEY.md §2.4/§5.8 — the reference is single-device; DP over ICI
+        is the framework obligation). The per-step batch shards over
+        ``dp_axis``; losses/metrics keep their batch-global semantics via
+        psum-aware reductions, gradients are psum'd, and BatchNorm syncs its
+        statistics across the axis — so training numerics match the
+        single-device run (dropout masks are the one documented exception:
+        each shard draws its own). Any other mesh axes replicate."""
         self.model = model
         self.cfg = cfg
+        self.mesh = mesh
+        self.dp_axis = dp_axis
+        self.dp_size = 1
+        if mesh is not None:
+            self.dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(dp_axis, 1)
+        if self.dp_size > 1 and cfg.batch_size % self.dp_size:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must divide evenly over the "
+                f"'{dp_axis}' mesh axis (size {self.dp_size}) for data-parallel training")
+        if self.dp_size > 1 and getattr(model, "bn_axis", None) is None and hasattr(model, "bn_axis"):
+            self.model = model.clone(bn_axis=dp_axis)  # sync-BN over the DP axis
         loss = loss if loss is not None else cfg.loss
         self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
         self.seg_metrics = seg_metrics  # dice for segmentation, f1 for classification
         self.augment_cfg = augment_cfg
+        self.augment_images_only = augment_images_only
         self.tx = make_adam(cfg)
         self._build()
 
@@ -96,8 +138,13 @@ class Trainer:
     # -- jitted inner fns ------------------------------------------------------
 
     def _build(self):
-        model, tx, loss_fn = self.model, self.tx, self.loss_fn
-        metric_fn = L.dice_coeff if self.seg_metrics else L.f1_metric
+        model, tx = self.model, self.tx
+        dp = self.dp_axis if self.dp_size > 1 else None
+        loss_fn = _with_axis(self.loss_fn, dp)
+        metric_fn = _with_axis(L.dice_coeff if self.seg_metrics else L.f1_metric, dp)
+
+        def gsum(x):
+            return L._gsum(x, dp)
 
         def apply_train(params, batch_stats, xb, dropout_key):
             out, mut = model.apply(
@@ -107,6 +154,7 @@ class Trainer:
             return out, mut["batch_stats"]
 
         augment_cfg = self.augment_cfg
+        images_only = self.augment_images_only
 
         def make_train_step(x, y):
             def train_step(carry, xs):
@@ -115,11 +163,16 @@ class Trainer:
                 xb = x[idx]
                 yb = y[idx]
                 if augment_cfg is not None:
-                    from onestop_tpu.ops.augment import augment_batch
+                    from onestop_tpu.ops.augment import augment_batch, augment_image_batch
                     akey, key = jax.random.split(key)
-                    ab, sb = augment_batch(akey, xb[..., 0], yb[..., 0], augment_cfg)
-                    xb = ab[..., None]
-                    yb = sb[..., None]
+                    if dp is not None:  # distinct masks per shard
+                        akey = jax.random.fold_in(akey, jax.lax.axis_index(dp))
+                    if images_only:
+                        xb = augment_image_batch(akey, xb[..., 0], augment_cfg)[..., None]
+                    else:
+                        ab, sb = augment_batch(akey, xb[..., 0], yb[..., 0], augment_cfg)
+                        xb = ab[..., None]
+                        yb = sb[..., None]
 
                 def loss_of(p):
                     probs, new_bs = apply_train(p, batch_stats, xb, key)
@@ -128,14 +181,20 @@ class Trainer:
                     return l, (new_bs, m)
 
                 (l, (new_bs, m)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+                if dp is not None:
+                    # the collective loss is batch-global; under shard_map the
+                    # transpose of the loss's psums is psum (cotangents arrive
+                    # ×axis_size), so pmean — not psum — reconstructs the exact
+                    # single-device gradient (verified in
+                    # tests/test_parallel.py::test_dp_gradients_match_single_device)
+                    grads = jax.lax.pmean(grads, dp)
                 updates, new_opt = tx.update(grads, opt_state, params)
                 updates = jax.tree_util.tree_map(lambda u: -lr * u, updates)
                 params = optax.apply_updates(params, updates)
-                return (params, new_bs, new_opt), (l, m, jnp.sum(wb))
+                return (params, new_bs, new_opt), (l, m, gsum(wb))
             return train_step
 
-        @functools.partial(jax.jit, donate_argnums=(0,))
-        def epoch_fn(state: TrainState, x, y, idx_grid, w_grid, keys, lr):
+        def epoch_core(state: TrainState, x, y, idx_grid, w_grid, keys, lr):
             lrs = jnp.full((idx_grid.shape[0],), lr, jnp.float32)
             (params, batch_stats, opt_state), (ls, ms, ws) = jax.lax.scan(
                 make_train_step(x, y),
@@ -151,8 +210,7 @@ class Trainer:
                 loss, metric,
             )
 
-        @jax.jit
-        def eval_fn(params, batch_stats, idx_grid, w_grid, x, y):
+        def eval_core(params, batch_stats, idx_grid, w_grid, x, y):
             def step(_, xs):
                 idx, wb = xs
                 probs = model.apply({"params": params, "batch_stats": batch_stats},
@@ -160,10 +218,30 @@ class Trainer:
                 l = loss_fn(y[idx], probs, weights=wb)
                 m = metric_fn(y[idx] * L._broadcast(wb, y[idx].ndim),
                               probs * L._broadcast(wb, probs.ndim))
-                return None, (l, m, jnp.sum(wb))
+                return None, (l, m, gsum(wb))
             _, (ls, ms, ws) = jax.lax.scan(step, None, (idx_grid, w_grid))
             wsum = jnp.maximum(jnp.sum(ws), 1.0)
             return jnp.sum(ls * ws) / wsum, jnp.sum(ms * ws) / wsum
+
+        if dp is not None:
+            from jax.sharding import PartitionSpec as P
+            repl = P()
+            batch_sharded = P(None, dp)   # (steps, batch) grids: shard batch
+            epoch_core = jax.shard_map(
+                epoch_core, mesh=self.mesh,
+                in_specs=(repl, repl, repl, batch_sharded, batch_sharded, repl, repl),
+                out_specs=(repl, repl, repl),
+                check_vma=False,
+            )
+            eval_core = jax.shard_map(
+                eval_core, mesh=self.mesh,
+                in_specs=(repl, repl, batch_sharded, batch_sharded, repl, repl),
+                out_specs=(repl, repl),
+                check_vma=False,
+            )
+
+        epoch_fn = jax.jit(epoch_core, donate_argnums=(0,))
+        eval_fn = jax.jit(eval_core)
 
         @functools.partial(jax.jit, static_argnames=("batch_size",))
         def predict_fn(params, batch_stats, x, batch_size=32):
@@ -263,9 +341,15 @@ class Trainer:
         timer = StepTimer()
 
         metric_name = "dice_coeff" if self.seg_metrics else "f1"
-        monitors = {f"val_{metric_name}": "max", "val_loss": "min"}
+        # cfg.monitor drives the ModelCheckpoint monitors (ref holdout.py:1044-1047
+        # monitors val_dice_coeff max + val_loss min; task2 adds best-val-AUC
+        # via RocCallback, task2:731-734). "loss" monitors minimize, the rest
+        # maximize — Keras ModelCheckpoint mode='min'/'max' semantics.
+        monitors = {name: ("min" if "loss" in name else "max")
+                    for name in self.cfg.monitor
+                    if name != "val_auc" or track_auc}
         if track_auc:
-            monitors["val_auc"] = "max"
+            monitors.setdefault("val_auc", "max")
         best = {k: {"value": -np.inf if m == "max" else np.inf, "epoch": -1,
                     "params": None, "batch_stats": None}
                 for k, m in monitors.items()}

@@ -29,6 +29,11 @@ import numpy as np
 import pytest
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(42)
+@pytest.fixture()
+def rng(request):
+    """Function-scoped, seeded per test: every test gets a deterministic
+    stream independent of which other tests ran before it (a session-scoped
+    shared stream made results depend on execution order — VERDICT r1)."""
+    import zlib
+
+    return np.random.default_rng(zlib.crc32(request.node.nodeid.encode()))

@@ -25,3 +25,22 @@ def test_all_figures_render(tmp_path, rng):
                                       path=tmp_path / "dist.png")
     for f in ("sample", "curves", "cmp", "folds", "roc", "lr", "dist"):
         assert (tmp_path / f"{f}.png").stat().st_size > 1000
+
+
+def test_demo_panels_render(tmp_path, rng):
+    """CLAHE before/after, cropper panel, confusion-matrix plot (the three
+    VERDICT r1 viz gaps — ref holdout.py:171-194, :249-273, task2:926-989)."""
+    import cv2
+
+    ct = rng.random((128, 128))
+    viz.plot_clahe_demo(ct, path=tmp_path / "clahe_demo.png")
+
+    mask = np.zeros((128, 128), np.uint8)
+    cv2.ellipse(mask, (40, 64), (20, 38), 0, 0, 360, 1, -1)
+    cv2.ellipse(mask, (88, 64), (18, 36), 0, 0, 360, 1, -1)
+    viz.plot_cropper_demo(mask.astype(np.float64), path=tmp_path / "cropper_demo.png")
+
+    viz.plot_confusion_matrix((580, 20, 3, 31), threshold=0.81,
+                              path=tmp_path / "cm.png")
+    for f in ("clahe_demo", "cropper_demo", "cm"):
+        assert (tmp_path / f"{f}.png").stat().st_size > 1000
