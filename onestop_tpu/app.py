@@ -18,6 +18,7 @@ Which task would you like to run?
   four  : Task1 — holdout U-Net++ infection segmentation
   five  : Task2 — COVID-19 slice classification CNN
   six   : Task3 — lung segmentation U-Net
+  seven : Production chain — lung U-Net boxes -> infection U-Net (no GT)
 """
 
 
@@ -53,7 +54,9 @@ def main(argv=None):
     runner = RUNNERS[token]
     print(f"Running {runner.__name__} ...")
     extra = {}
-    if args.use_augmentation and token not in ("one", "two"):  # CV runners: no aug path in the reference
+    # CV runners: no aug path in the reference; the chain trains two models
+    # with their task defaults
+    if args.use_augmentation and token not in ("one", "two", "seven"):
         extra["use_augmentation"] = args.use_augmentation
     results = runner(data_dir=args.data_dir, out_dir=args.out_dir,
                      small_run=args.small_run, verbose=args.verbose,

@@ -28,10 +28,23 @@ import numpy as np
 from onestop_tpu.config import PreprocessConfig
 from onestop_tpu.ops.bbox import two_lung_bboxes
 from onestop_tpu.ops.clahe import clahe
+from onestop_tpu.ops.clahe_pallas import clahe_fused
 from onestop_tpu.ops.crop import fuse_lung_crops
 from onestop_tpu.ops.resize import area_weights, linear_weights
 
-_CHUNK = 8
+def _chunk_size() -> int:
+    """Ingest batch chunk: small on CPU (XLA one-hot CLAHE materializes
+    ~268 MB/image of histogram one-hot), large on TPU where the Pallas
+    CLAHE keeps everything in VMEM and bigger batches amortize dispatch."""
+    return 64 if jax.default_backend() == "tpu" else 8
+
+
+def _use_pallas_clahe() -> bool:
+    """The Pallas CLAHE (clahe_fused) is bit-equal to ops.clahe.clahe
+    (asserted in tests/test_clahe_pallas.py) and ~3.5x faster on TPU; on CPU
+    backends Mosaic kernels only run in interpret mode (Python-speed), so the
+    exact XLA path stays the CPU default."""
+    return jax.default_backend() == "tpu"
 
 
 # ---------------------------------------------------------------------------
@@ -80,14 +93,22 @@ def _kernel_boxes(masks01, tile_hw):
     return jax.vmap(one)(masks01)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_hw",))
-def _kernel_ct(cts_u8, b1, b2, tile_hw):
+@functools.partial(jax.jit, static_argnames=("tile_hw", "use_pallas"))
+def _kernel_ct(cts_u8, b1, b2, tile_hw, use_pallas=False):
     """CLAHE + two-lung crop: the 'cts' pass (ref holdout.py:347-358).
 
     Takes uint8 input: the reference's ``np.uint8(img*255)`` truncates the
     *float64* product, so the conversion happens host-side in f64
     (``_to_u8``) — doing it on-device in f32 shifts ties like
-    0.6666666627×255 into the wrong bin."""
+    0.6666666627×255 into the wrong bin.
+
+    use_pallas selects the batched Pallas CLAHE (TPU hot path; bit-equal to
+    the exact XLA path, see ``_use_pallas_clahe``)."""
+    if use_pallas:
+        enhanced = clahe_fused(cts_u8)
+        def one(enh, bb1, bb2):
+            return fuse_lung_crops(enh.astype(jnp.float32), bb1, bb2, tile_hw)
+        return jax.vmap(one)(enhanced, b1, b2)
     def one(u8, bb1, bb2):
         enh = clahe(u8)
         return fuse_lung_crops(enh.astype(jnp.float32), bb1, bb2, tile_hw)
@@ -111,12 +132,13 @@ def _to_u8(x01: np.ndarray) -> np.ndarray:
 
 def _run_chunked(kernel, arrays, tile_hw=None):
     n = arrays[0].shape[0]
+    size = _chunk_size()
     outs = None
-    for i in range(0, n, _CHUNK):
-        chunk = [np.asarray(a[i : i + _CHUNK]) for a in arrays]
+    for i in range(0, n, size):
+        chunk = [np.asarray(a[i : i + size]) for a in arrays]
         k = chunk[0].shape[0]
-        if k < _CHUNK:
-            chunk = [np.concatenate([c, np.repeat(c[-1:], _CHUNK - k, axis=0)]) for c in chunk]
+        if k < size:
+            chunk = [np.concatenate([c, np.repeat(c[-1:], size - k, axis=0)]) for c in chunk]
         res = kernel(*[jnp.asarray(c) for c in chunk], tile_hw) if tile_hw else kernel(*chunk)
         res = jax.tree_util.tree_map(lambda r: np.asarray(r)[:k], res)
         if outs is None:
@@ -160,7 +182,8 @@ def ingest_case(
 
     tile_hw = tuple(cfg.crop_tile)
     b1, b2, _ = _run_chunked(_kernel_boxes, [lungs_bin[kept]], tile_hw)
-    cts = _run_chunked(_kernel_ct, [_to_u8(ct_slices[kept]), b1, b2], tile_hw)
+    ct_kernel = functools.partial(_kernel_ct, use_pallas=_use_pallas_clahe())
+    cts = _run_chunked(ct_kernel, [_to_u8(ct_slices[kept]), b1, b2], tile_hw)
     masks = None
     if infection_slices is not None:
         masks = _run_chunked(_kernel_mask, [_to_u8(infection_slices[kept]), b1, b2], tile_hw)
@@ -182,7 +205,8 @@ def ingest_lung_case(
     kept = np.nonzero(nonempty)[0]
     tile_hw = tuple(cfg.crop_tile)
     b1, b2, _ = _run_chunked(_kernel_boxes, [lungs_bin[kept]], tile_hw)
-    cts = _run_chunked(_kernel_ct, [_to_u8(ct_slices[kept]), b1, b2], tile_hw)
+    ct_kernel = functools.partial(_kernel_ct, use_pallas=_use_pallas_clahe())
+    cts = _run_chunked(ct_kernel, [_to_u8(ct_slices[kept]), b1, b2], tile_hw)
     lungs = _run_chunked(_kernel_mask, [_to_u8(lungs_bin[kept]), b1, b2], tile_hw)
     return {"cts": cts, "masks": lungs, "boxes1": b1, "boxes2": b2, "kept": kept}
 

@@ -11,7 +11,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from onestop_tpu.models.common import batch_norm, glorot_uniform, he_normal
+from onestop_tpu.models.common import (
+    ConvStemS2D, batch_norm, glorot_uniform, he_normal)
 
 
 class ClassifierCNN(nn.Module):
@@ -20,14 +21,19 @@ class ClassifierCNN(nn.Module):
     dropout: float = 0.4
     dtype: jnp.dtype = jnp.float32
     bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
+    s2d_stem: bool = False  # space-to-depth first conv (see models/unet.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = x.astype(self.dtype)
         for i, w in enumerate(self.widths):
             for j in range(2):
-                x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
-                            dtype=self.dtype, name=f"s{i}_conv{j}")(x)
+                if i == 0 and j == 0 and self.s2d_stem:
+                    x = ConvStemS2D(w, dtype=self.dtype, kernel_init=he_normal(),
+                                    name="s0_conv0")(x)
+                else:
+                    x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
+                                dtype=self.dtype, name=f"s{i}_conv{j}")(x)
                 x = nn.relu(x)
                 x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}", axis_name=self.bn_axis)(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))

@@ -16,7 +16,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from onestop_tpu.models.common import batch_norm, glorot_uniform, he_normal
+from onestop_tpu.models.common import (
+    ConvStemS2D, batch_norm, glorot_uniform, he_normal)
 
 
 class UNet(nn.Module):
@@ -26,6 +27,12 @@ class UNet(nn.Module):
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
+    # space-to-depth stem (see common.ConvStemS2D): pays two relayout
+    # transposes to fix the C_in=1 conv's MXU utilization — wins when the
+    # input arrives from HBM (training steps), loses when the conv fuses
+    # with an upstream producer (the serving pipeline). Params identical
+    # either way; checkpoints interchangeable.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -40,7 +47,12 @@ class UNet(nn.Module):
 
         skips = []
         for i, w in enumerate(self.widths):
-            x = nn.relu(conv(w, f"enc{i}_conv0")(x))
+            if i == 0 and self.s2d_stem:
+                x = nn.relu(ConvStemS2D(w, dtype=self.dtype,
+                                        kernel_init=he_normal(),
+                                        name="enc0_conv0")(x))
+            else:
+                x = nn.relu(conv(w, f"enc{i}_conv0")(x))
             x = nn.relu(conv(w, f"enc{i}_conv1")(x))
             x = batch_norm(train, self.dtype, name=f"enc{i}_bn", axis_name=self.bn_axis)(x)
             skips.append(x)

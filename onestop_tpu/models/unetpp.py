@@ -16,7 +16,8 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from onestop_tpu.models.common import batch_norm, glorot_uniform, he_normal
+from onestop_tpu.models.common import (
+    ConvStemS2D, batch_norm, glorot_uniform, he_normal)
 
 
 class UNetPP(nn.Module):
@@ -26,6 +27,7 @@ class UNetPP(nn.Module):
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
+    s2d_stem: bool = False  # space-to-depth first conv (see models/unet.py)
 
     def _conv(self, w, name):
         return nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
@@ -41,7 +43,12 @@ class UNetPP(nn.Module):
         drop = lambda rate, name: nn.Dropout(rate, deterministic=not train, name=name)
 
         def backbone_block(h, w, name):
-            h = nn.elu(self._conv(w, f"{name}_conv0")(h))
+            if name == "c1" and self.s2d_stem:
+                h = nn.elu(ConvStemS2D(w, dtype=self.dtype,
+                                       kernel_init=he_normal(),
+                                       name="c1_conv0")(h))
+            else:
+                h = nn.elu(self._conv(w, f"{name}_conv0")(h))
             h = drop(self.backbone_dropout, f"{name}_drop")(h)
             h = nn.elu(self._conv(w, f"{name}_conv1")(h))
             return batch_norm(train, self.dtype, name=f"{name}_bn", axis_name=self.bn_axis)(h)

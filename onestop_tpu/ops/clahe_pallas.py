@@ -85,6 +85,63 @@ def tile_histograms(imgs: jax.Array, interpret: bool = False) -> jax.Array:
     )(imgs.astype(jnp.int32).reshape(b, h, w))
 
 
+def _hist_kernel_nibble(img_ref, out_ref, *, tile_px: int):
+    """Nibble-split tile histograms: img_ref (1, 8, 8·tile_px) int32 — one
+    tile-ROW per sublane, each tile's pixels contiguous on lanes — ->
+    out (1, 128, 16) f32 per tile-row slab, hist[(t·16+hi)·..., lo].
+
+    hist256[v] needs 256 compares/pixel in one-hot form (the VPU-bound
+    ``_hist_kernel``, ~70 ms/1024×256² batch). Splitting v = 16·hi + lo
+    needs only 16+16 compares to build hi/lo one-hots, and the joint
+    (16, 16) count per tile is their outer product accumulated over pixels —
+    an MXU contraction over the lane (pixel) axis:
+
+        hist[t, hi, lo] = Σ_p hi_oh[hi, p_t] · lo_oh[lo, p_t]
+
+    The (hi, lo) -> 256-bin unflatten happens OUTSIDE the kernel (XLA
+    reshape; Mosaic cannot merge the sublane pair into the lane dim).
+    Requires tile_px % 128 == 0 (true for 256²/512² inputs: 1024/4096)."""
+    nib = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    for ty in range(_GRID):
+        v = img_ref[0, ty : ty + 1, :]                       # (1, 8·tile_px)
+        hi_oh = (nib == (v >> 4)).astype(jnp.bfloat16)       # (16, 8·tile_px)
+        lo_oh = (nib == (v & 15)).astype(jnp.bfloat16)
+        for t in range(_GRID):
+            hi_t = jax.lax.slice_in_dim(hi_oh, t * tile_px, (t + 1) * tile_px, axis=1)
+            lo_t = jax.lax.slice_in_dim(lo_oh, t * tile_px, (t + 1) * tile_px, axis=1)
+            hist = jax.lax.dot_general(
+                hi_t, lo_t, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (16 hi, 16 lo)
+            out_ref[0, pl.ds((ty * _GRID + t) * 16, 16), :] = hist
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def tile_histograms_nibble(imgs: jax.Array, interpret: bool = False) -> jax.Array:
+    """(B, H, W) uint8 (tile area a multiple of 128) -> (B, 64, 256) f32.
+    Same result as ``tile_histograms``; ~4x faster (see ``_hist_kernel_nibble``)."""
+    b, h, w = imgs.shape
+    th, tw = h // _GRID, w // _GRID
+    tile_px = th * tw
+    # per-tile-contiguous pixel layout: (B, ty, tx, th, tw) -> (B, 8, 8·th·tw)
+    x = (imgs.astype(jnp.int32)
+         .reshape(b, _GRID, th, _GRID, tw)
+         .transpose(0, 1, 3, 2, 4)
+         .reshape(b, _GRID, _GRID * tile_px))
+    kernel = functools.partial(_hist_kernel_nibble, tile_px=tile_px)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, _GRID * _GRID * 16, 16), jnp.float32),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, _GRID, _GRID * tile_px), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, _GRID * _GRID * 16, 16), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x)
+    # (B, 64·16hi, 16lo) -> (B, 64, 256): bin = 16·hi + lo
+    return out.reshape(b, _GRID * _GRID, _NBINS)
+
+
 def _finalize_luts(hist: jax.Array, clip_limit: float, tile_area: int) -> jax.Array:
     """(B, 64, 256) histograms -> (B, 64, 256) uint8 LUTs (OpenCV clip +
     redistribution + rounded CDF). Pure XLA; the cumsum is a triangular
@@ -93,11 +150,17 @@ def _finalize_luts(hist: jax.Array, clip_limit: float, tile_area: int) -> jax.Ar
     if clip_limit > 0:
         climit = max(int(clip_limit * tile_area / _NBINS), 1)
         excess = jnp.sum(jnp.maximum(h - climit, 0), axis=-1, keepdims=True)
-        h = jnp.minimum(h, climit) + excess // _NBINS
+        h = jnp.minimum(h, climit) + excess // _NBINS  # const divisor: a shift
         residual = excess % _NBINS
-        step = jnp.maximum(_NBINS // jnp.maximum(residual, 1), 1)
-        idx = jnp.arange(_NBINS, dtype=jnp.int32)[None, None, :]
-        h = h + (((idx % step) == 0) & ((idx // step) < residual) & (residual > 0)).astype(jnp.int32)
+        # (idx % step == 0) & (idx // step < residual) without variable-divisor
+        # integer div/mod, which lower to bit-serial loops on the VPU (~30 ms
+        # per 1024-image batch). All operands are < 2^24 so f32 division
+        # (correctly rounded, quotient < 256) and products are exact.
+        step = jnp.maximum(_NBINS // jnp.maximum(residual, 1), 1).astype(jnp.float32)
+        idx = jnp.arange(_NBINS, dtype=jnp.float32)[None, None, :]
+        q = jnp.floor(idx / step)
+        hit = (q * step == idx) & (q < residual.astype(jnp.float32)) & (residual > 0)
+        h = h + hit.astype(jnp.int32)
     tri = jnp.asarray(np.tril(np.ones((_NBINS, _NBINS), np.float32)))
     cdf = jnp.einsum("btk,jk->btj", h.astype(jnp.float32), tri,
                      precision=jax.lax.Precision.HIGHEST)
@@ -160,44 +223,59 @@ def _apply_luts(imgs: jax.Array, luts: jax.Array) -> jax.Array:
     return jnp.clip(jnp.round(res), 0, 255).astype(jnp.uint8)
 
 
-def _apply_kernel(colw1_ref, colw2_ref, img_ref, luts_ref, out_ref, *,
-                  tile_h: int, width: int):
-    """8-row-block LUT apply (grid (B, H/8) keeps the DMA pipeline busy):
-    per row, build the transposed one-hot (256 bins on sublanes x W pixels
-    on lanes — a pure broadcast compare, no relayout) and contract with the
-    row's 16 stacked tile LUTs on the MXU. Everything stays in VMEM; the XLA
-    fallback materializes ~268 MB/image of one-hot through HBM.
+def _apply_kernel_block(colw1_ref, colw2_ref, img_ref, luts_ref, out_ref, *,
+                        tile_h: int, width: int, block_rows: int):
+    """Block LUT apply: one (16, 256) @ (256, R·W) MXU matmul per R-row block.
 
-    An 8-row block lies within one interpolation half-band whenever
-    tile_h % 16 == 0 (512/256 inputs), so the two LUT rows are loaded once
-    per block and the 8 inner rows unroll without control flow."""
+    A per-row variant (one (16, 256) @ (256, W) matmul per image row) is
+    latency-bound (~43 ms/1024×256² batch on v5e); flattening the R rows into
+    the lane dim makes N = R·W (4096 for R=16, W=256) so each matmul is a
+    well-shaped MXU op. Row flattening happens OUTSIDE the kernel (XLA
+    reshape) because Mosaic cannot merge sublanes into the lane dim; each
+    grid step sees 8 consecutive R-row blocks as img_ref (1, 8, R·W)
+    (a sublane-dim of 8 keeps the BlockSpec legal) and unrolls over them.
+
+    Each R-row block must lie inside one interpolation half-band (same
+    ty1/ty2 for all R rows): callers guarantee (tile_h // 2) % block_rows == 0.
+
+    Float association order matches OpenCV exactly: A(1-xa) + B·xa per LUT
+    row (colw sums each have one nonzero term), then the row lerp
+    top·(1-ya) + bot·ya with ya from the same f32 iota arithmetic as the
+    reference XLA path — bit-for-bit parity is asserted in
+    tests/test_clahe_pallas.py."""
+    n = block_rows * width
     bins = jax.lax.broadcasted_iota(jnp.int32, (_NBINS, 1), 0)
-    j = pl.program_id(1)
-    y0 = j * 8
-    tyf0 = y0.astype(jnp.float32) / tile_h - 0.5
-    ty1 = jnp.floor(tyf0)
-    ty1c = jnp.clip(ty1, 0, _GRID - 1).astype(jnp.int32)
-    ty2c = jnp.clip(ty1 + 1, 0, _GRID - 1).astype(jnp.int32)
-    lut1 = luts_ref[0, pl.ds(ty1c * _GRID, _GRID), :]        # (8, 256)
-    lut2 = luts_ref[0, pl.ds(ty2c * _GRID, _GRID), :]
-    luts = jnp.concatenate([lut1, lut2], axis=0).astype(jnp.bfloat16)
-    cw1 = colw1_ref[...]
+    # per-lane row offset r = lane // width (static divisor: multiply-shift)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    r = lane // width
+    cw1 = colw1_ref[...]                                     # (8, R·W)
     cw2 = colw2_ref[...]
+    j8 = pl.program_id(1)
 
-    for r in range(8):
-        row = img_ref[0, r : r + 1, :]                       # (1, W) int32
-        onehot = (bins == row).astype(jnp.bfloat16)          # (256, W)
-        p = jnp.dot(luts, onehot, preferred_element_type=jnp.float32)  # (16, W)
-        # association matches OpenCV: A(1-xa) + B·xa per LUT row, then the
-        # row lerp (each colw sum has exactly one nonzero term)
+    for s in range(8):
+        jblk = j8 * 8 + s
+        y0 = jblk * block_rows
+        tyf0 = y0.astype(jnp.float32) / tile_h - 0.5
+        ty1 = jnp.floor(tyf0)
+        ty1c = jnp.clip(ty1, 0, _GRID - 1).astype(jnp.int32)
+        ty2c = jnp.clip(ty1 + 1, 0, _GRID - 1).astype(jnp.int32)
+        lut1 = luts_ref[0, pl.ds(ty1c * _GRID, _GRID), :]    # (8, 256)
+        lut2 = luts_ref[0, pl.ds(ty2c * _GRID, _GRID), :]
+        luts = jnp.concatenate([lut1, lut2], axis=0).astype(jnp.bfloat16)
+
+        rows = img_ref[0, s : s + 1, :]                      # (1, R·W) int32
+        onehot = (bins == rows).astype(jnp.bfloat16)         # (256, R·W)
+        p = jnp.dot(luts, onehot, preferred_element_type=jnp.float32)  # (16, R·W)
+
         top = (jnp.sum(p[0:_GRID] * cw1, axis=0, keepdims=True)
                + jnp.sum(p[0:_GRID] * cw2, axis=0, keepdims=True))
         bot = (jnp.sum(p[_GRID:] * cw1, axis=0, keepdims=True)
                + jnp.sum(p[_GRID:] * cw2, axis=0, keepdims=True))
-        tyf = (y0 + r).astype(jnp.float32) / tile_h - 0.5
-        ya = tyf - jnp.floor(tyf)
+        y = y0 + r
+        tyf = y.astype(jnp.float32) / tile_h - 0.5
+        ya = tyf - jnp.floor(tyf)                            # (1, R·W)
         res = top * (1.0 - ya) + bot * ya
-        out_ref[0, r : r + 1, :] = jnp.clip(jnp.round(res), 0.0, 255.0)
+        out_ref[0, s : s + 1, :] = jnp.clip(jnp.round(res), 0.0, 255.0)
 
 
 def _colw_split(w: int, tw: int):
@@ -219,25 +297,29 @@ def _colw_split(w: int, tw: int):
 def _apply_luts_pallas(imgs: jax.Array, luts: jax.Array, interpret: bool = False) -> jax.Array:
     b, h, w = imgs.shape
     th, tw = h // _GRID, w // _GRID
+    # largest block that stays inside one interpolation half-band
+    R = 16 if th % 32 == 0 else 8
     w1, w2 = _colw_split(w, tw)
-    kernel = functools.partial(_apply_kernel, tile_h=th, width=w)
+    w1r = np.ascontiguousarray(np.tile(w1, (1, R)))
+    w2r = np.ascontiguousarray(np.tile(w2, (1, R)))
+    kernel = functools.partial(_apply_kernel_block, tile_h=th, width=w, block_rows=R)
+    x = imgs.astype(jnp.int32).reshape(b, h // R, R * w)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, h, w), jnp.float32),
-        grid=(b, h // 8),
+        out_shape=jax.ShapeDtypeStruct((b, h // R, R * w), jnp.float32),
+        grid=(b, (h // R) // 8),
         in_specs=[
-            pl.BlockSpec((_GRID, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_GRID, w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GRID, R * w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_GRID, R * w), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, R * w), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _GRID * _GRID, _NBINS), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, w), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, 8, R * w), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(jnp.asarray(w1), jnp.asarray(w2), imgs.astype(jnp.int32),
-      luts.astype(jnp.float32))
-    return out.astype(jnp.uint8)
+    )(jnp.asarray(w1r), jnp.asarray(w2r), x, luts.astype(jnp.float32))
+    return out.reshape(b, h, w).astype(jnp.uint8)
 
 
 def clahe_fused(imgs: jax.Array, clip_limit: float = 3.0,
@@ -258,15 +340,18 @@ def clahe_fused(imgs: jax.Array, clip_limit: float = 3.0,
     ph, pw = th * _GRID - h, tw * _GRID - w
     padded = imgs if (ph == 0 and pw == 0) else \
         jnp.pad(imgs, ((0, 0), (0, ph), (0, pw)), mode="reflect")
-    if th % 8 != 0:
+    if (th * tw) % 128 == 0:
+        # nibble-split MXU histogram (fastest; 256²/512² inputs land here)
+        hist = tile_histograms_nibble(padded, interpret=interpret)
+    elif th % 8 == 0:
+        hist = tile_histograms(padded, interpret=interpret)
+    else:
         # Mosaic sublane alignment wants 8-row strips; odd tile heights take
         # the exact XLA histogram path instead (rare: non-512/256 inputs)
         from onestop_tpu.ops.clahe import _tile_histograms as _xla_hist
         tiles = padded.reshape(b, _GRID, th, _GRID, tw).transpose(0, 1, 3, 2, 4)
         tiles = tiles.reshape(b * _GRID * _GRID, th * tw)
         hist = _xla_hist(tiles).reshape(b, _GRID * _GRID, _NBINS).astype(jnp.float32)
-    else:
-        hist = tile_histograms(padded, interpret=interpret)
     luts = _finalize_luts(hist, clip_limit, th * tw)
     # apply uses the padded tile size but original pixel grid; the Pallas
     # apply kernel needs 8-row blocks to stay inside one interpolation

@@ -1,0 +1,116 @@
+"""Chained production inference: raw CT → lung U-Net → lung boxes →
+CLAHE + two-lung crop → infection U-Net, one jit program, no ground truth
+anywhere.
+
+The reference cannot do this. Its infection pipeline crops every CT with
+boxes taken from the *ground-truth* lung mask (``holdout.py:339-368``), so
+inference requires the label it is supposed to help produce; task3 trains a
+lung model that could supply those boxes, but the scripts never wire the
+chain together (SURVEY.md §8 Q2). This module closes that loop:
+
+1. the raw windowed/normalized slice (×255 uint8, any resolution) is
+   CLAHE'd and plain-resized (INTER_AREA — the ``read_nii_demo`` path,
+   ref ``holdout.py:281-297``) to the lung model's resolution;
+2. the lung U-Net predicts a lung mask; its two largest components give the
+   crop boxes (``ops.bbox``), rescaled to raw-image coordinates;
+3. ``ops.pipeline.fused_infer`` runs the task1 serving chain — CLAHE,
+   dynamic two-lung crop-resize, infection U-Net, threshold — using those
+   *predicted* boxes instead of ground-truth ones.
+
+Stage 1 intentionally feeds the lung model full-frame (uncropped) CLAHE'd
+slices: cropping would require boxes, which is what the lung stage exists to
+produce. Lung models for this chain must therefore be trained on full-frame
+pairs (``build_plain_lung_dataset``) rather than the self-cropped task3
+dataset; ``runner_production_chain`` (CLI menu 'seven' — an option the
+reference's app.py advertises but never implemented, ``app.py:29``) does
+exactly that end to end and reports the dice cost of swapping GT boxes for
+predicted ones.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onestop_tpu.ops.clahe_pallas import clahe_fused
+from onestop_tpu.ops.pipeline import fused_infer, lung_boxes_batch
+from onestop_tpu.ops.resize import resize2d
+
+Array = jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold", "interpret"))
+def chained_infer(
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_variables,
+    raw_u8: Array,                      # (B, H, W) uint8 raw normalized slices ×255
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+):
+    """Full no-ground-truth chain. Returns (masks, boxes1, boxes2):
+    masks (B, oh, ow, 1) — bool if ``threshold`` given, else probabilities —
+    in the two-lung-crop frame; boxes in raw-image coordinates (float32,
+    (x, y, w, h)), usable to map masks back onto the raw slice."""
+    b, h, w = raw_u8.shape
+    enhanced = clahe_fused(raw_u8, interpret=interpret)          # (B, H, W) uint8
+
+    # stage 1: full-frame lung segmentation at model resolution
+    x_lung = resize2d(enhanced.astype(jnp.float32), model_hw, "area")
+    x_lung = (x_lung / 255.0)[..., None]
+    lung_probs = lung_model.apply(lung_variables, x_lung, train=False)
+    lung_masks = lung_probs[..., 0] > lung_threshold             # (B, oh, ow)
+
+    # stage 2: predicted boxes, rescaled from model to raw coordinates
+    b1, b2 = lung_boxes_batch(lung_masks.astype(jnp.float32))
+    sy = h / model_hw[0]
+    sx = w / model_hw[1]
+    scale = jnp.array([sx, sy, sx, sy], jnp.float32)             # (x, y, w, h)
+    b1 = b1.astype(jnp.float32) * scale
+    b2 = b2.astype(jnp.float32) * scale
+
+    # stage 3: the task1 serving chain with predicted boxes
+    masks = fused_infer(seg_model, seg_variables, raw_u8, b1, b2,
+                        out_hw=model_hw, threshold=threshold, interpret=interpret)
+    return masks, b1, b2
+
+
+@functools.partial(jax.jit, static_argnames=("new_dim", "use_pallas"))
+def _kernel_enhance_resize(u8, new_dim, use_pallas=False):
+    """CLAHE + plain INTER_AREA resize for the full-frame lung pairs."""
+    from onestop_tpu.ops.clahe import clahe
+
+    enhanced = clahe_fused(u8) if use_pallas else jax.vmap(clahe)(u8)
+    return resize2d(enhanced.astype(jnp.float32), (new_dim, new_dim), "area")
+
+
+def build_plain_lung_dataset(case_slices, cfg):
+    """Full-frame (uncropped) lung training pairs for the chain's stage-1
+    model: CLAHE'd CT and binarized lung mask, both plain-resized to
+    ``cfg.new_dim`` (INTER_AREA) — no boxes anywhere, exactly the transform
+    ``chained_infer`` applies at serving time. Returns (cts, lungs) as
+    (N, d, d, 1) float32 in [0, 1]."""
+    from onestop_tpu.data.ingest import _run_chunked, _to_u8, _use_pallas_clahe
+
+    kernel = functools.partial(_kernel_enhance_resize, new_dim=cfg.new_dim,
+                               use_pallas=_use_pallas_clahe())
+    cts_parts, lung_parts = [], []
+    for ct_s, lung_s in case_slices:
+        lungs_bin = (lung_s > 0).astype(np.float64)
+        keep = lungs_bin.reshape(lungs_bin.shape[0], -1).max(axis=1) > 0
+        if not keep.any():
+            continue
+        cts_parts.append(_run_chunked(kernel, [_to_u8(ct_s[keep])]))
+        lung_parts.append(np.asarray(
+            resize2d(jnp.asarray(lungs_bin[keep] * 255.0, jnp.float32),
+                     (cfg.new_dim, cfg.new_dim), "area")))
+    cts = np.concatenate(cts_parts, axis=0).astype(np.float32) / 255.0
+    lungs = np.concatenate(lung_parts, axis=0).astype(np.float32) / 255.0
+    return cts[..., None], lungs[..., None]

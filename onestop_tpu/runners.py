@@ -534,6 +534,99 @@ def runner_lung_segmentation(
                                      use_augmentation=use_augmentation, mesh=mesh)
 
 
+def runner_production_chain(
+    data_dir=None, out_dir=None, small_run=False, verbose=False,
+    cache_dir=None, mesh=None, threshold=0.5, **kw
+):
+    """CLI menu 'seven' — the chained no-ground-truth pipeline the
+    reference's menu advertises but never implements (ref ``app.py:29``
+    prompts for a nonexistent 'seven'; SURVEY.md §8 Q2/Q13).
+
+    Trains (a) a full-frame lung U-Net on uncropped CLAHE'd pairs
+    (``production.build_plain_lung_dataset`` — the distribution
+    ``chained_infer`` feeds it at serving time) and (b) the standard task1
+    infection U-Net; then, on a held-out case's raw slices, runs
+    ``production.chained_infer`` (lung model → predicted boxes → CLAHE+crop →
+    infection model) and the same serving chain with ground-truth lung boxes.
+    Reports both dice scores and their delta — the cost of replacing the
+    reference's GT-leaky boxes with predicted ones."""
+    from onestop_tpu.data.ingest import _kernel_boxes, _kernel_mask, _to_u8
+    from onestop_tpu.ops.pipeline import fused_infer
+    from onestop_tpu.production import build_plain_lung_dataset, chained_infer
+
+    task1 = C.task1_holdout()
+    task3 = C.task3_lung()
+    if small_run:
+        epochs = kw.pop("epochs", 3)
+        task1 = _small(task1, epochs=epochs)
+        task3 = _small(task3, epochs=epochs)
+    pre = task1.preprocess
+    out_path = _out(out_dir)
+
+    triples = list(_case_slice_triples(data_dir, pre, **kw))
+    if len(triples) < 2:
+        raise ValueError("production chain needs >=2 cases (train + held-out)")
+    train_triples, (ct_e, lung_e, inf_e) = triples[:-1], triples[-1]
+
+    # stage-1 model: full-frame lung U-Net
+    xl, yl = build_plain_lung_dataset(
+        [(ct, lung) for ct, lung, _ in train_triples], task3.preprocess)
+    lung_model = _build_unet(task3)
+    lung_res = _run_holdout_segmentation(
+        lung_model, task3, xl, yl, out_dir, "unet_lung_fullframe",
+        verbose=verbose, mesh=mesh)
+
+    # stage-3 model: the standard task1 infection U-Net
+    xi, yi = build_segmentation_dataset(train_triples, pre)
+    seg_model = _build_unet(task1)
+    seg_res = _run_holdout_segmentation(
+        seg_model, task1, xi, yi, out_dir, "unet_infection_for_chain",
+        verbose=verbose, mesh=mesh)
+
+    def _vars(res):
+        st = res["state"]
+        return {"params": st.params, "batch_stats": st.batch_stats}
+
+    # held-out raw slices (drop empty-lung slices like the dataset builds do)
+    lungs_bin = (lung_e > 0)
+    keep = lungs_bin.reshape(len(lungs_bin), -1).max(axis=1) > 0
+    raw_u8 = jnp.asarray(_to_u8(ct_e[keep]))
+    inf_u8 = jnp.asarray(_to_u8(inf_e[keep]))
+    d = pre.new_dim
+    interp = jax.default_backend() == "cpu"
+
+    masks_chain, b1p, b2p = chained_infer(
+        lung_model, _vars(lung_res), seg_model, _vars(seg_res), raw_u8,
+        model_hw=(d, d), threshold=threshold, interpret=interp)
+    b1g, b2g, _ = _kernel_boxes(jnp.asarray(lungs_bin[keep], jnp.float32), (d, d // 2))
+    masks_gtbox = fused_infer(seg_model, _vars(seg_res), raw_u8, b1g, b2g,
+                              out_hw=(d, d), threshold=threshold, interpret=interp)
+
+    # targets cropped into each prediction's own frame
+    tgt_chain = _kernel_mask(inf_u8, b1p, b2p, (d, d // 2)) / 255.0 > 0.5
+    tgt_gtbox = _kernel_mask(inf_u8, b1g, b2g, (d, d // 2)) / 255.0 > 0.5
+
+    def _dice(pred, tgt):
+        p = np.asarray(pred[..., 0] if pred.ndim == 4 else pred, np.float64)
+        t = np.asarray(tgt, np.float64)
+        return float((2 * (p * t).sum() + 1.0) / (p.sum() + t.sum() + 1.0))
+
+    dice_chain = _dice(masks_chain, tgt_chain)
+    dice_gtbox = _dice(masks_gtbox, tgt_gtbox)
+    results = {
+        "name": "production_chain",
+        "dice_chained": dice_chain,
+        "dice_gt_boxes": dice_gtbox,
+        "dice_delta": dice_gtbox - dice_chain,
+        "lung_val_dice": lung_res["val_dice"],
+        "infection_val_dice": seg_res["val_dice"],
+        "n_eval_slices": int(keep.sum()),
+        "threshold": threshold,
+    }
+    _save_json(out_path / "production_chain_report.json", results)
+    return {**results, "lung": lung_res, "infection": seg_res}
+
+
 RUNNERS = {
     "one": three_fold_runner_unet_infection_segmentation,
     "two": four_fold_runner_unet_infection_segmentation,
@@ -541,4 +634,5 @@ RUNNERS = {
     "four": holdout_runner_unetplusplus_infection_segmentation,
     "five": runner_classification,
     "six": runner_lung_segmentation,
+    "seven": runner_production_chain,
 }

@@ -29,6 +29,19 @@ def test_matches_cv2_512(rng):
     assert np.array_equal(got[0], ref)
 
 
+def test_nibble_histogram_equals_strip_histogram(rng):
+    """The nibble-split MXU histogram and the 8-row-strip VPU histogram must
+    agree exactly (both are integer counts)."""
+    from onestop_tpu.ops.clahe_pallas import tile_histograms, tile_histograms_nibble
+
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 256, 256), dtype=np.uint8))
+    a = np.asarray(tile_histograms(imgs, interpret=_INTERPRET))
+    b = np.asarray(tile_histograms_nibble(imgs, interpret=_INTERPRET))
+    np.testing.assert_array_equal(a, b)
+    # every tile histogram sums to the tile area
+    np.testing.assert_array_equal(b.sum(-1), np.full((2, 64), 32 * 32, np.float32))
+
+
 def test_nondivisible_padding(rng):
     """±1 on CPU rounding ties (see test_clahe.py note); bit-exact on TPU."""
     imgs = rng.integers(0, 256, (2, 300, 220), dtype=np.uint8)

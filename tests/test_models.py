@@ -106,3 +106,20 @@ def test_bfloat16_compute_keeps_fp32_output():
     x = jnp.zeros((1, 64, 64, 1), jnp.float32)
     y = model.apply(variables, x, train=False)
     assert y.dtype == jnp.float32
+
+
+def test_s2d_stem_equals_plain_conv(rng):
+    """The space-to-depth stem (models.common.ConvStemS2D) must compute the
+    same function as nn.Conv(3x3, SAME) on C_in=1 — same params, same output
+    up to f32 accumulation order — including the odd-size fallback path."""
+    from flax import linen as nn
+    from onestop_tpu.models.common import ConvStemS2D, he_normal
+
+    for hw in (64, 30):  # even (packed path) and odd (fallback path)
+        ref = nn.Conv(32, (3, 3), padding="SAME", kernel_init=he_normal())
+        fast = ConvStemS2D(32, kernel_init=he_normal())
+        x = jnp.asarray(rng.standard_normal((2, hw, hw, 1)), jnp.float32)
+        v = ref.init(jax.random.PRNGKey(1), x)
+        a = np.asarray(ref.apply(v, x))
+        b = np.asarray(fast.apply(v, x))  # identical param names: kernel/bias
+        np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)

@@ -1,0 +1,95 @@
+"""Chained no-ground-truth production inference (onestop_tpu.production):
+raw CT -> lung U-Net -> predicted boxes -> CLAHE+crop -> infection U-Net.
+The reference cannot run its infection pipeline without GT lung masks
+(SURVEY.md §8 Q2); this chain replaces them with the task3 model's output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onestop_tpu import config as C
+from onestop_tpu.data.synthetic import synthetic_case
+from onestop_tpu.data.ingest import load_slices
+from onestop_tpu.models import UNet
+from onestop_tpu.production import build_plain_lung_dataset, chained_infer
+
+_INTERPRET = True  # tests run on CPU
+
+
+def _models(hw=64):
+    lung = UNet(widths=(4, 8), bridge=16)
+    seg = UNet(widths=(4, 8), bridge=16)
+    vl = lung.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, hw, hw, 1)), train=False)
+    vs = seg.init({"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, hw, hw, 1)), train=False)
+    return lung, vl, seg, vs
+
+
+def test_chained_infer_shapes_boxes_and_determinism(rng):
+    lung, vl, seg, vs = _models()
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 128, 128), dtype=np.uint8))
+    masks, b1, b2 = chained_infer(lung, vl, seg, vs, imgs, model_hw=(64, 64),
+                                  threshold=0.5, interpret=_INTERPRET)
+    assert masks.shape == (2, 64, 64, 1) and masks.dtype == jnp.bool_
+    assert b1.shape == (2, 4) and b1.dtype == jnp.float32
+    # boxes are in raw coordinates: within the 128x128 frame
+    for b in (np.asarray(b1), np.asarray(b2)):
+        assert (b[:, 0] + b[:, 2] <= 128 + 1e-3).all()
+        assert (b[:, 1] + b[:, 3] <= 128 + 1e-3).all()
+    masks2, _, _ = chained_infer(lung, vl, seg, vs, imgs, model_hw=(64, 64),
+                                 threshold=0.5, interpret=_INTERPRET)
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
+
+
+def test_chained_boxes_track_true_lungs():
+    """With a lung model that returns the (resized) truth, predicted boxes
+    must land on the synthetic phantom's lungs in raw coordinates."""
+    case = synthetic_case(seed=3, hw=128, n_slices=10)
+    cts = load_slices(case.ct, img_size=128)
+    lungs = load_slices(case.lung_mask, img_size=128)
+    raw_u8 = jnp.asarray(np.uint8(np.clip(cts * 255.0, 0, 255)))
+
+    class TruthLung:
+        """Stand-in 'model' that emits the GT lung mask at model resolution."""
+        def __init__(self, masks):
+            self.masks = masks
+        def apply(self, variables, x, train=False):
+            return self.masks
+        def __hash__(self):
+            return id(self)
+        def __eq__(self, other):
+            return self is other
+
+    from onestop_tpu.ops.resize import resize2d
+    gt_small = np.asarray(resize2d(jnp.asarray((lungs > 0) * 1.0, jnp.float32),
+                                   (64, 64), "area")) > 0.5
+    truth = TruthLung(jnp.asarray(gt_small, jnp.float32)[..., None])
+    seg = UNet(widths=(4,), bridge=8)
+    vs = seg.init({"params": jax.random.PRNGKey(0)},
+                  jnp.zeros((1, 64, 64, 1)), train=False)
+
+    masks, b1, b2 = chained_infer(truth, {}, seg, vs, raw_u8, model_hw=(64, 64),
+                                  threshold=0.5, interpret=_INTERPRET)
+    # GT boxes straight from the raw-resolution mask, for comparison
+    from onestop_tpu.ops.pipeline import lung_boxes_batch
+    g1, g2 = lung_boxes_batch(jnp.asarray((lungs > 0) * 1.0, jnp.float32))
+    # predicted (upscaled-from-64) boxes approximate raw boxes within the
+    # 2-pixel quantization of the 2x downscale
+    for pred, gt in ((b1, g1), (b2, g2)):
+        np.testing.assert_allclose(np.asarray(pred), np.asarray(gt, np.float32),
+                                   atol=4.0)
+
+
+def test_build_plain_lung_dataset_shapes_and_range():
+    case = synthetic_case(seed=5, hw=128, n_slices=8)
+    cts = load_slices(case.ct, img_size=128)
+    lungs = load_slices(case.lung_mask, img_size=128)
+    cfg = C.PreprocessConfig(img_size=128, new_dim=64)
+    x, y = build_plain_lung_dataset([(cts, lungs)], cfg)
+    assert x.shape == y.shape and x.shape[1:] == (64, 64, 1)
+    assert x.shape[0] > 0
+    assert 0.0 <= x.min() and x.max() <= 1.0
+    assert 0.0 <= y.min() and y.max() <= 1.0
+    # lung channel actually contains lungs
+    assert (np.asarray(y) > 0.5).mean() > 0.01
