@@ -4,15 +4,21 @@ inference throughput on one TPU chip.
 Pipeline per slice (the production chain, ``onestop_tpu.ops.pipeline``),
 defaults matching BASELINE.json's "256^2 CT slices" and the reference's own
 224^2 model resolution (both overridable via --in-hw/--out-hw):
-256x256 uint8 raw slice -> Pallas tile-histogram CLAHE -> dynamic two-lung
-crop-resize (MXU matmuls) to 224x224 -> /255 -> reference-topology U-Net
-(bfloat16) -> sigmoid -> threshold.
+256x256 uint8 raw slice -> Pallas nibble-split tile-histogram CLAHE (MXU)
+-> dynamic two-lung crop-resize (per-image boxes, MXU matmuls) -> /255 ->
+reference-topology U-Net (bfloat16) -> sigmoid -> threshold.
+
+Serving configuration: one dispatch processes ``--total`` slices as
+``lax.map`` chunks of ``--chunk`` (bounds peak HBM while amortizing the
+session tunnel's fixed per-dispatch/fetch cost, ~60 ms). Boxes vary per
+image (the production chain takes them from the task3 lung model — see
+onestop_tpu/production.py; their values don't change the FLOP count).
 
 Prints ONE JSON line; vs_baseline is against the 5,000 slices/sec/chip
 target from BASELINE.json (the reference publishes no throughput numbers at
 all — its preprocessing is a per-slice OpenCV host loop).
 
-Usage: python bench.py [--batch 64] [--iters 20] [--no-preproc]
+Usage: python bench.py [--total 4096] [--chunk 1024] [--iters 2]
 """
 
 import argparse
@@ -31,8 +37,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=1024)
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--total", type=int, default=4096,
+                    help="slices per dispatch")
+    ap.add_argument("--chunk", type=int, default=1024,
+                    help="lax.map chunk size (peak-HBM bound)")
+    ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--in-hw", type=int, default=256,
                     help="raw CT slice resolution (BASELINE.json: 256^2 slices)")
     ap.add_argument("--out-hw", type=int, default=224,
@@ -46,51 +55,69 @@ def main():
 
     backend = jax.default_backend()
     interpret = backend == "cpu"
-    b = args.batch
+    total, chunk = args.total, args.chunk
+    if interpret:  # CPU smoke: keep it small
+        total = chunk = min(chunk, 8)
+    n_chunks = total // chunk
+    total = n_chunks * chunk
+    s, o = args.in_hw, args.out_hw
 
     # Timing protocol, shaped by this environment's remote-TPU tunnel where
     # `block_until_ready` can return before remote completion and full output
-    # fetches cost ~300 ms of tunnel transfer: dispatch `iters` batches on
-    # DISTINCT input buffers, then force + verify each execution by fetching
-    # one pixel of every output (cheap RPCs). Device compute serializes
-    # in-order on the single chip, so the span covers all real work.
+    # fetches cost ~300 ms of tunnel transfer: dispatch `iters` mega-batches
+    # on DISTINCT input buffers, then force + verify each execution by
+    # fetching one pixel of every output (cheap RPCs). Device compute
+    # serializes in-order on the single chip, so the span covers all real
+    # work.
     rng = np.random.default_rng(0)
-    s = args.in_hw
     bufs = [jax.device_put(jnp.asarray(
-        rng.integers(0, 256, (b, s, s), dtype=np.uint8))) for _ in range(args.iters)]
-    # plausible lung boxes (the production chain takes them from the task3
-    # lung model; their values don't change the FLOP count)
-    b1_d = jax.device_put(jnp.tile(
-        jnp.array([s // 8, s // 6, s // 3, (2 * s) // 3], jnp.int32), (b, 1)))
-    b2_d = jax.device_put(jnp.tile(
-        jnp.array([(5 * s) // 9, s // 6, (3 * s) // 10, (3 * s) // 5], jnp.int32), (b, 1)))
+        rng.integers(0, 256, (total, s, s), dtype=np.uint8)))
+        for _ in range(args.iters)]
+    # plausible per-image two-lung boxes (x, y, w, h)
+    def rand_boxes(x0, x1):
+        x = rng.integers(int(x0 * s), int(x1 * s), (total, 1))
+        y = rng.integers(s // 8, s // 4, (total, 1))
+        w = rng.integers(s // 4, s // 3, (total, 1))
+        h = rng.integers(s // 2, (2 * s) // 3, (total, 1))
+        return jax.device_put(jnp.asarray(
+            np.concatenate([x, y, w, h], axis=1), jnp.int32))
+    b1_d = rand_boxes(0.10, 0.18)
+    b2_d = rand_boxes(0.52, 0.60)
 
     model = UNet(dtype=jnp.bfloat16)
     variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.zeros((1, args.out_hw, args.out_hw, 1)), train=False)
+                           jnp.zeros((1, o, o, 1)), train=False)
 
-    def run(x):
-        return fused_infer(model, variables, x, b1_d, b2_d,
-                           out_hw=(args.out_hw, args.out_hw),
-                           threshold=0.5, interpret=interpret)
+    @jax.jit
+    def run(x, bb1, bb2):
+        def one(argz):
+            xc, c1, c2 = argz
+            return fused_infer(model, variables, xc, c1, c2,
+                               out_hw=(o, o), threshold=0.5,
+                               interpret=interpret)
+        xs = x.reshape(n_chunks, chunk, s, s)
+        return jax.lax.map(one, (xs,
+                                 bb1.reshape(n_chunks, chunk, 4),
+                                 bb2.reshape(n_chunks, chunk, 4)))
 
-    out = run(bufs[0])
-    _ = np.asarray(out[:1, :1, :1])  # warm compile + drain
+    out = run(bufs[0], b1_d, b2_d)
+    _ = np.asarray(out.ravel()[0])  # warm compile + drain
 
     t0 = time.perf_counter()
-    outs = [run(x) for x in bufs]
-    checks = [np.asarray(o[:1, :1, :1, :]).sum() for o in outs]  # forces every execution
+    outs = [run(x, b1_d, b2_d) for x in bufs]
+    checks = [np.asarray(oo.ravel()[0]) for oo in outs]  # forces every execution
     dt = time.perf_counter() - t0
-    assert all(np.isfinite(c) for c in checks)
+    assert all(np.isfinite(1.0 * c) for c in checks)
 
-    slices_per_sec = b * args.iters / dt
+    slices_per_sec = total * args.iters / dt
     print(json.dumps({
         "metric": f"fused_preproc+unet_infer_{args.in_hw}px_slices",
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / 5000.0, 4),
         "backend": backend,
-        "batch": b,
+        "batch": total,
+        "chunk": chunk,
         "model_hw": args.out_hw,
     }))
     return 0

@@ -23,12 +23,17 @@ def fuse_lung_crops(
     box2: Array,
     tile_hw: tuple[int, int] = (250, 125),
     method: str = "area",
+    precision=None,
 ) -> Array:
     """Crop ``img`` by the two recorded lung boxes, resize each tile to
     ``tile_hw`` and hstack — the 'cts'/'infections' path of ``read_nii``
-    (``holdout.py:352-358, 364-368``). Boxes are (x, y, w, h), traced OK."""
-    t1 = crop_resize(img, (box1[0], box1[1], box1[2], box1[3]), tile_hw, method)
-    t2 = crop_resize(img, (box2[0], box2[1], box2[2], box2[3]), tile_hw, method)
+    (``holdout.py:352-358, 364-368``). Boxes are (x, y, w, h), traced OK.
+    precision: matmul precision (default fp32-HIGHEST for cv2 parity; the
+    serving pipeline passes DEFAULT/bf16)."""
+    t1 = crop_resize(img, (box1[0], box1[1], box1[2], box1[3]), tile_hw, method,
+                     precision=precision)
+    t2 = crop_resize(img, (box2[0], box2[1], box2[2], box2[3]), tile_hw, method,
+                     precision=precision)
     return jnp.concatenate([t1, t2], axis=-1)
 
 

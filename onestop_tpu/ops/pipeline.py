@@ -36,16 +36,24 @@ def fused_infer(
     interpret: bool = False,
 ):
     """Full preproc + inference. Returns (B, out_h, out_w, 1) masks
-    (bool if threshold given, else probabilities)."""
+    (bool if threshold given, else probabilities).
+
+    Serving-path numerics: the crop-resize matmuls run at bf16 MXU precision
+    (CLAHE'd uint8 pixel values are exact in bf16; the resize weights round
+    at ~2^-8) and the model input is pre-cast to the model dtype — identical
+    to the cast the model itself applies, so this changes nothing when
+    model.dtype is bfloat16. Dataset builds keep the fp32-HIGHEST path
+    (ops.resize default) for cv2 parity."""
     enhanced = clahe_fused(imgs_u8, interpret=interpret)  # (B, H, W) uint8
 
     tile_hw = (out_hw[0], out_hw[1] // 2)
 
     def crop_one(img, b1, b2):
-        return fuse_lung_crops(img.astype(jnp.float32), b1, b2, tile_hw)
+        return fuse_lung_crops(img.astype(jnp.float32), b1, b2, tile_hw,
+                               precision=jax.lax.Precision.DEFAULT)
 
     crops = jax.vmap(crop_one)(enhanced, boxes1, boxes2)   # (B, oh, ow)
-    x = (crops / 255.0)[..., None]                          # (B, oh, ow, 1)
+    x = (crops / 255.0).astype(model.dtype)[..., None]      # (B, oh, ow, 1)
     probs = model.apply(variables, x, train=False)
     if threshold is None:
         return probs

@@ -141,6 +141,7 @@ def crop_resize(
     box,
     out_hw: tuple[int, int],
     method: str = "area",
+    precision=None,
 ) -> Array:
     """Fused dynamic crop + resize, fully static shapes (jit/vmap friendly).
 
@@ -158,7 +159,7 @@ def crop_resize(
     make = _dyn_area_weights if method == "area" else _dyn_linear_weights
     wr = make(H, oh, y, h)
     wc = make(W, ow, x, w)
-    return _apply_sep(img, wr, wc)
+    return _apply_sep(img, wr, wc, precision=precision)
 
 
 def to_uint8(x: Array) -> Array:
