@@ -60,6 +60,35 @@ def fused_infer(
     return probs > threshold
 
 
+def fused_infer_sharded(
+    mesh,
+    model,
+    variables,
+    imgs_u8: Array,
+    boxes1: Array,
+    boxes2: Array,
+    axis: str = "data",
+    **kw,
+):
+    """Data-parallel serving over a device mesh: the slice batch shards over
+    ``axis``; every device runs the full fused chain (Pallas CLAHE + crop +
+    U-Net) on its shard with replicated weights. No collectives are needed —
+    serving is embarrassingly data-parallel over ICI-attached chips.
+
+    shard_map (not bare jit-with-shardings) because GSPMD cannot partition a
+    ``pallas_call``; inside shard_map each device traces its own kernel over
+    its local shard. The batch must divide the axis size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x, c1, c2):
+        return fused_infer(model, variables, x, c1, c2, **kw)
+
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(P(axis), P(axis), P(axis)),
+                     out_specs=P(axis), check_rep=False)(imgs_u8, boxes1, boxes2)
+
+
 def lung_boxes_batch(masks01: Array) -> tuple[Array, Array]:
     """Batched two-lung bbox extraction from binarized lung masks (the task3
     model's output feeds this in the full production chain)."""

@@ -75,3 +75,27 @@ def test_serving_precision_matches_exact_path(rng):
     assert np.abs(probs_opt - probs_ref).max() < 2e-2
     agree = ((probs_opt > 0.5) == (probs_ref > 0.5)).mean()
     assert agree > 0.995, agree
+
+
+def test_fused_infer_sharded_matches_single_device(rng):
+    """Data-parallel serving over the 8-device virtual mesh must equal the
+    single-device chain exactly (pure DP, replicated weights, no collectives)."""
+    from onestop_tpu.parallel.mesh import make_mesh
+    from onestop_tpu.ops.pipeline import fused_infer_sharded
+
+    mesh = make_mesh()
+    model = UNet(widths=(4, 8), bridge=16)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 64, 64, 1)), train=False)
+    n = int(np.prod(mesh.devices.shape))
+    b = 2 * n
+    imgs = jnp.asarray(rng.integers(0, 256, (b, 128, 128), dtype=np.uint8))
+    b1 = jnp.tile(jnp.array([16, 20, 40, 80], jnp.int32), (b, 1))
+    b2 = jnp.tile(jnp.array([70, 22, 38, 76], jnp.int32), (b, 1))
+
+    ref = fused_infer(model, v, imgs, b1, b2, out_hw=(64, 64),
+                      threshold=None, interpret=_INTERPRET)
+    got = fused_infer_sharded(mesh, model, v, imgs, b1, b2,
+                              out_hw=(64, 64), threshold=None,
+                              interpret=_INTERPRET)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
