@@ -162,9 +162,15 @@ def _save_json(path: Path, obj):
 # ---------------------------------------------------------------------------
 
 def _build_unet(task_cfg: C.TaskConfig):
+    # s2d_stem: the C_in=1 first conv's backward pass is the single worst op
+    # on TPU; the space-to-depth stem makes training epochs ~1.5x faster
+    # (measured, scripts/profile_ingest.py). Params are identical either
+    # way, so serving (ops.pipeline, stem off — it loses there) can load
+    # these checkpoints directly.
     m = task_cfg.model
     return UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
-                dropout=m.unet_dropout, dtype=jnp.dtype(m.compute_dtype))
+                dropout=m.unet_dropout, dtype=jnp.dtype(m.compute_dtype),
+                s2d_stem=True)
 
 
 def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
@@ -421,7 +427,7 @@ def holdout_runner_unetplusplus_infection_segmentation(
     model = UNetPP(widths=tuple(m.unetpp_widths),
                    backbone_dropout=m.unetpp_backbone_dropout,
                    block_dropout=m.unetpp_block_dropout,
-                   dtype=jnp.dtype(m.compute_dtype))
+                   dtype=jnp.dtype(m.compute_dtype), s2d_stem=True)
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
                                      "unetpp_covid_holdout", verbose=verbose,
                                      use_augmentation=use_augmentation, mesh=mesh)
@@ -472,7 +478,8 @@ def runner_classification(
     per_batch = use_augmentation in (True, "batch")
     m = task_cfg.model
     model = ClassifierCNN(widths=tuple(m.cls_widths), dense=m.cls_dense,
-                          dropout=m.cls_dropout, dtype=jnp.dtype(m.compute_dtype))
+                          dropout=m.cls_dropout, dtype=jnp.dtype(m.compute_dtype),
+                          s2d_stem=True)
     trainer = Trainer(model, task_cfg.train, seg_metrics=False,
                       augment_cfg=task_cfg.augment if per_batch else None,
                       augment_images_only=True, mesh=mesh)

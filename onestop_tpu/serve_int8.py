@@ -1,0 +1,168 @@
+"""Opt-in int8 serving path for the U-Net — the 2× MXU headroom beyond bf16.
+
+v5e executes s8×s8→s32 matmuls/convolutions at twice the bf16 rate (~394
+TOPS vs 197 TFLOP/s) and int8 conv operands halve HBM traffic. This module
+quantizes a trained U-Net's 3×3 convolutions symmetrically:
+
+- kernels per output channel:  w_q = round(W / kscale[o]), kscale = amax/127
+- activations per conv input, static scales from a calibration pass:
+  x_q = clip(round(x / sx), ±127)
+- conv accumulates in int32; dequant is a per-channel f32 scale (sx·kscale)
+  + bias, fused by XLA into the conv epilogue.
+
+ConvTranspose (0.8 G of 18.4 GFLOPs/slice), BatchNorm, and the sigmoid head
+stay in the model dtype — they are bandwidth-, not MXU-bound. The explicit
+forward below mirrors ``models.unet.UNet`` (inference mode) exactly;
+equivalence of the f32 calibration forward vs ``model.apply`` and the int8
+quality delta are asserted in tests/test_int8.py.
+
+This path is OPT-IN: the headline bench and all quality numbers use the
+bf16 path; int8 is for deployments that accept a measured ~1e-2 probability
+perturbation (mask agreement typically >99.5% at threshold 0.5).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onestop_tpu.models.common import BN_EPSILON
+
+Array = jax.Array
+
+
+def _bn_affine(bn_params, bn_stats):
+    """Inference BatchNorm as (mul, add) per channel, f32."""
+    scale = jnp.asarray(bn_params["scale"], jnp.float32)
+    bias = jnp.asarray(bn_params["bias"], jnp.float32)
+    mean = jnp.asarray(bn_stats["mean"], jnp.float32)
+    var = jnp.asarray(bn_stats["var"], jnp.float32)
+    mul = scale * jax.lax.rsqrt(var + BN_EPSILON)
+    return mul, bias - mean * mul
+
+
+def _conv_f32(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(kernel, x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.asarray(bias, x.dtype)
+
+
+def _convt_f32(x, kernel, bias):
+    y = jax.lax.conv_transpose(
+        x, jnp.asarray(kernel, x.dtype), (2, 2), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + jnp.asarray(bias, x.dtype)
+
+
+def _unet_forward(params, batch_stats, x, widths, qconv, record=None):
+    """Shared inference forward for the calibration (f32) and int8 paths.
+
+    qconv(x, layer_name, kernel, bias) computes a 3×3 SAME conv; ``record``
+    (a dict) collects per-conv-input amax during calibration."""
+    p, bs = params, batch_stats
+
+    def conv(x, name):
+        if record is not None:
+            record[name] = jnp.maximum(
+                record.get(name, 0.0), jnp.max(jnp.abs(x)).astype(jnp.float32))
+        return qconv(x, name, p[name]["kernel"], p[name]["bias"])
+
+    skips = []
+    for i in range(len(widths)):
+        x = jax.nn.relu(conv(x, f"enc{i}_conv0"))
+        x = jax.nn.relu(conv(x, f"enc{i}_conv1"))
+        mul, add = _bn_affine(p[f"enc{i}_bn"], bs[f"enc{i}_bn"])
+        x = x * mul.astype(x.dtype) + add.astype(x.dtype)
+        skips.append(x)
+        x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    x = jax.nn.relu(conv(x, "bridge_conv0"))
+    x = jax.nn.relu(conv(x, "bridge_conv1"))
+    for i in reversed(range(len(widths))):
+        x = _convt_f32(x, p[f"dec{i}_up"]["kernel"], p[f"dec{i}_up"]["bias"])
+        x = jnp.concatenate([x, skips[i]], axis=-1)
+        mul, add = _bn_affine(p[f"dec{i}_bn"], bs[f"dec{i}_bn"])
+        x = x * mul.astype(x.dtype) + add.astype(x.dtype)
+        x = jax.nn.relu(conv(x, f"dec{i}_conv0"))
+        x = jax.nn.relu(conv(x, f"dec{i}_conv1"))
+    head = p["head"]
+    y = jax.lax.conv_general_dilated(
+        x, jnp.asarray(head["kernel"], x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + jnp.asarray(head["bias"], x.dtype)
+    return jax.nn.sigmoid(y.astype(jnp.float32))
+
+
+def calibrate_and_quantize(variables, x_cal, widths=(32, 64, 128, 256)) -> dict:
+    """One f32 calibration pass over ``x_cal`` (a representative batch) →
+    quantized tree: per-conv int8 kernels, per-channel kernel scales,
+    per-conv-input activation scales, f32 biases + BN/up/head params."""
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(variables["params"]))
+    stats = jax.tree_util.tree_map(np.asarray, jax.device_get(variables["batch_stats"]))
+
+    record = {}
+    _unet_forward(params, stats, jnp.asarray(x_cal, jnp.float32), widths,
+                  qconv=lambda x, name, k, b: _conv_f32(x, k, b), record=record)
+    act_scales = {k: float(np.maximum(np.asarray(v), 1e-12)) / 127.0
+                  for k, v in record.items()}
+
+    q = {"params": params, "batch_stats": stats, "widths": tuple(widths),
+         "act_scales": act_scales, "kernels_q": {}, "kscales": {}}
+    for name in act_scales:  # every quantized 3×3 conv
+        w = np.asarray(params[name]["kernel"], np.float64)
+        kscale = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0), 1e-12) / 127.0
+        q["kernels_q"][name] = np.clip(np.round(w / kscale), -127, 127).astype(np.int8)
+        q["kscales"][name] = kscale.astype(np.float32)
+    return q
+
+
+def unet_apply_int8(q: dict, x: Array, dtype=jnp.bfloat16) -> Array:
+    """Int8 inference forward. x: (B, H, W, 1) in [0, 1]. Returns f32 probs."""
+    kernels_q, kscales, act_scales = q["kernels_q"], q["kscales"], q["act_scales"]
+
+    def qconv(x, name, kernel, bias):
+        sx = act_scales[name]
+        xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, jnp.asarray(kernels_q[name]), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        deq = (sx * jnp.asarray(kscales[name])).astype(jnp.float32)
+        return (y.astype(jnp.float32) * deq
+                + jnp.asarray(bias, jnp.float32)).astype(dtype)
+
+    return _unet_forward(q["params"], q["batch_stats"], x.astype(dtype),
+                         q["widths"], qconv=qconv)
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "threshold", "interpret"))
+def fused_infer_int8(
+    q: dict,
+    imgs_u8: Array,
+    boxes1: Array,
+    boxes2: Array,
+    out_hw: tuple[int, int] = (224, 224),
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+):
+    """The serving chain (ops.pipeline.fused_infer) with the int8 U-Net."""
+    from onestop_tpu.ops.clahe_pallas import clahe_fused
+    from onestop_tpu.ops.crop import fuse_lung_crops
+
+    enhanced = clahe_fused(imgs_u8, interpret=interpret)
+    tile_hw = (out_hw[0], out_hw[1] // 2)
+
+    def crop_one(img, b1, b2):
+        return fuse_lung_crops(img.astype(jnp.float32), b1, b2, tile_hw,
+                               precision=jax.lax.Precision.DEFAULT)
+
+    crops = jax.vmap(crop_one)(enhanced, boxes1, boxes2)
+    x = (crops / 255.0)[..., None]
+    probs = unet_apply_int8(q, x)
+    if threshold is None:
+        return probs
+    return probs > threshold

@@ -1,0 +1,74 @@
+"""Int8 serving path (onestop_tpu.serve_int8): the explicit inference
+forward must match UNet.apply exactly in f32, and the quantized path must
+stay within a small, measured delta of it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onestop_tpu.models import UNet
+from onestop_tpu.serve_int8 import (
+    _conv_f32, _unet_forward, calibrate_and_quantize, fused_infer_int8,
+    unet_apply_int8)
+
+_WIDTHS = (4, 8)
+
+
+def _trained_like_variables(rng):
+    """Random init, then perturb BN stats so inference BN is non-trivial."""
+    model = UNet(widths=_WIDTHS, bridge=16)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 64, 64, 1)), train=False)
+    v = jax.tree_util.tree_map(np.asarray, jax.device_get(v))
+    for name, col in v["batch_stats"].items():
+        col["mean"] = col["mean"] + rng.normal(0, 0.05, col["mean"].shape).astype(np.float32)
+        col["var"] = col["var"] * (1 + rng.uniform(0, 0.3, col["var"].shape)).astype(np.float32)
+    # amplify the head so probabilities spread over [0, 1] like a trained
+    # model's (fresh-init outputs all sit at sigmoid(~0) = 0.5)
+    v["params"]["head"]["kernel"] = v["params"]["head"]["kernel"] * 60.0
+    return model, v
+
+
+def test_explicit_forward_matches_unet_apply(rng):
+    model, v = _trained_like_variables(rng)
+    x = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    ref = np.asarray(model.apply(v, x, train=False))
+    got = np.asarray(_unet_forward(
+        v["params"], v["batch_stats"], x, _WIDTHS,
+        qconv=lambda xx, name, k, b: _conv_f32(xx, k, b)))
+    np.testing.assert_allclose(ref, got, rtol=0, atol=2e-5)
+
+
+def test_int8_quality_delta_and_agreement(rng):
+    model, v = _trained_like_variables(rng)
+    x_cal = jnp.asarray(rng.random((4, 64, 64, 1)), jnp.float32)
+    q = calibrate_and_quantize(v, x_cal, widths=_WIDTHS)
+    # every 3x3 conv got quantized
+    assert set(q["kernels_q"]) == {
+        "enc0_conv0", "enc0_conv1", "enc1_conv0", "enc1_conv1",
+        "bridge_conv0", "bridge_conv1",
+        "dec0_conv0", "dec0_conv1", "dec1_conv0", "dec1_conv1"}
+    x = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    ref = np.asarray(model.apply(v, x, train=False))
+    got = np.asarray(unet_apply_int8(q, x, dtype=jnp.float32))
+    delta = np.abs(ref - got)
+    assert delta.mean() < 0.03, delta.mean()
+    assert delta.max() < 0.25  # boundary pixels under the amplified head
+    # judge mask agreement where the reference is confident (a trained model
+    # is confident nearly everywhere; pixels at prob≈0.5 flip on any noise)
+    confident = np.abs(ref - 0.5) > 0.05
+    assert confident.mean() > 0.5  # the statistic is meaningful
+    agree = ((ref > 0.5) == (got > 0.5))[confident].mean()
+    assert agree > 0.99, agree
+
+
+def test_fused_infer_int8_end_to_end(rng):
+    _, v = _trained_like_variables(rng)
+    q = calibrate_and_quantize(
+        v, jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32), widths=_WIDTHS)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 128, 128), dtype=np.uint8))
+    b1 = jnp.tile(jnp.array([16, 20, 40, 80], jnp.int32), (2, 1))
+    b2 = jnp.tile(jnp.array([70, 22, 38, 76], jnp.int32), (2, 1))
+    masks = fused_infer_int8(q, imgs, b1, b2, out_hw=(64, 64),
+                             threshold=0.5, interpret=True)
+    assert masks.shape == (2, 64, 64, 1) and masks.dtype == jnp.bool_
