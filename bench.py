@@ -58,6 +58,7 @@ def main():
     total, chunk = args.total, args.chunk
     if interpret:  # CPU smoke: keep it small
         total = chunk = min(chunk, 8)
+    chunk = min(chunk, total)  # --total smaller than --chunk: one chunk
     n_chunks = total // chunk
     total = n_chunks * chunk
     s, o = args.in_hw, args.out_hw

@@ -76,19 +76,32 @@ def bce_dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None,
             + 0.5 * dice_loss(y_true, y_pred, weights, axis_name=axis_name))
 
 
-def tversky_loss(y_true: Array, y_pred: Array, alpha: float = 0.5, beta: float = 0.5) -> Array:
-    """Tversky over spatial+batch axes per channel, Ncl - sum(T) (ref :801-817)."""
-    p0, g0 = y_pred, y_true
-    p1, g1 = 1.0 - y_pred, 1.0 - y_true
+def tversky_loss(y_true: Array, y_pred: Array, weights: Array | None = None,
+                 alpha: float = 0.5, beta: float = 0.5,
+                 axis_name: str | None = None) -> Array:
+    """Tversky over spatial+batch axes per channel, Ncl - sum(T) (ref :801-817).
+
+    weights: per-sample batch mask (padded-batch support — masked rows
+    contribute nothing to any of the four sums); axis_name: psum the
+    per-channel sums across the DP axis (batch-global semantics)."""
+    w = _broadcast(_sample_weights(y_true, weights), y_true.ndim)
+    p0, g0 = y_pred * w, y_true * w
+    p1, g1 = (1.0 - y_pred) * w, (1.0 - y_true) * w
     axes = tuple(range(y_true.ndim - 1))
     num = jnp.sum(p0 * g0, axes)
-    den = num + alpha * jnp.sum(p0 * g1, axes) + beta * jnp.sum(p1 * g0, axes)
-    t = jnp.sum(num / den)
+    den_a = jnp.sum(p0 * g1, axes)
+    den_b = jnp.sum(p1 * g0, axes)
+    if axis_name:
+        num = jax.lax.psum(num, axis_name)
+        den_a = jax.lax.psum(den_a, axis_name)
+        den_b = jax.lax.psum(den_b, axis_name)
+    t = jnp.sum(num / (num + alpha * den_a + beta * den_b))
     ncl = jnp.asarray(y_true.shape[-1], jnp.float32)
     return ncl - t
 
 
-def weighted_bce_loss(y_true: Array, y_pred: Array, weight: Array) -> Array:
+def weighted_bce_loss(y_true: Array, y_pred: Array, weight: Array,
+                      axis_name: str | None = None) -> Array:
     """Logit-space numerically-stable weighted BCE (ref :819-825)."""
     p = jnp.clip(y_pred, EPSILON, 1.0 - EPSILON)
     logit = jnp.log(p / (1.0 - p))
@@ -97,23 +110,29 @@ def weighted_bce_loss(y_true: Array, y_pred: Array, weight: Array) -> Array:
         + jnp.log1p(jnp.exp(-jnp.abs(logit)))
         + jnp.maximum(-logit, 0.0)
     )
-    return jnp.sum(loss) / jnp.sum(weight)
+    return _gsum(loss, axis_name) / _gsum(weight, axis_name)
 
 
-def weighted_dice_loss(y_true: Array, y_pred: Array, weight: Array, smooth: float = 1.0) -> Array:
+def weighted_dice_loss(y_true: Array, y_pred: Array, weight: Array, smooth: float = 1.0,
+                       axis_name: str | None = None) -> Array:
     """(ref :827-833)"""
     intersection = y_true * y_pred
-    score = (2.0 * jnp.sum(weight * intersection) + smooth) / (
-        jnp.sum(weight * y_true) + jnp.sum(weight * y_pred) + smooth
+    score = (2.0 * _gsum(weight * intersection, axis_name) + smooth) / (
+        _gsum(weight * y_true, axis_name) + _gsum(weight * y_pred, axis_name) + smooth
     )
     return 1.0 - score
 
 
-def weighted_bce_dice_loss(y_true: Array, y_pred: Array) -> Array:
+def weighted_bce_dice_loss(y_true: Array, y_pred: Array, weights: Array | None = None,
+                           axis_name: str | None = None) -> Array:
     """Boundary-weighted BCE-dice: weight map from a 50×50 same-padded
-    average pool of the target (ref :835-847). NHWC input."""
+    average pool of the target (ref :835-847). NHWC input.
+
+    weights: per-sample batch mask (padded rows drop out of the weight map's
+    normalization and both loss terms); axis_name: batch-global sums."""
     y_true = y_true.astype(jnp.float32)
     y_pred = y_pred.astype(jnp.float32)
+    m = _broadcast(_sample_weights(y_true, weights), y_true.ndim)
     pooled = jax.lax.reduce_window(
         y_true, 0.0, jax.lax.add, (1, 50, 50, 1), (1, 1, 1, 1), "SAME"
     )
@@ -121,11 +140,11 @@ def weighted_bce_dice_loss(y_true: Array, y_pred: Array) -> Array:
         jnp.ones_like(y_true), 0.0, jax.lax.add, (1, 50, 50, 1), (1, 1, 1, 1), "SAME"
     )
     averaged = pooled / counts
-    weight = jnp.ones_like(averaged)
-    w0 = jnp.sum(weight)
-    weight = 5.0 * jnp.exp(-5.0 * jnp.abs(averaged - 0.5))
-    weight = weight * (w0 / jnp.sum(weight))
-    return 0.5 * weighted_bce_loss(y_true, y_pred, weight) + 0.5 * dice_loss(y_true, y_pred)
+    w0 = _gsum(m, axis_name)
+    weight = 5.0 * jnp.exp(-5.0 * jnp.abs(averaged - 0.5)) * m
+    weight = weight * (w0 / _gsum(weight, axis_name))
+    return (0.5 * weighted_bce_loss(y_true, y_pred, weight, axis_name=axis_name)
+            + 0.5 * dice_loss(y_true, y_pred, weights, axis_name=axis_name))
 
 
 # --- classification metrics (batchwise, K.round/K.clip semantics) ----------

@@ -44,8 +44,21 @@ def fused_infer(
     to the cast the model itself applies, so this changes nothing when
     model.dtype is bfloat16. Dataset builds keep the fp32-HIGHEST path
     (ops.resize default) for cv2 parity."""
-    enhanced = clahe_fused(imgs_u8, interpret=interpret)  # (B, H, W) uint8
+    x = serving_preproc(imgs_u8, boxes1, boxes2, out_hw, interpret=interpret)
+    probs = model.apply(variables, x.astype(model.dtype), train=False)
+    if threshold is None:
+        return probs
+    return probs > threshold
 
+
+def serving_preproc(imgs_u8: Array, boxes1: Array, boxes2: Array,
+                    out_hw: tuple[int, int], interpret: bool = False) -> Array:
+    """The shared serving preprocessing: Pallas CLAHE → per-image dynamic
+    two-lung crop-resize (bf16 matmul precision) → /255. Returns
+    (B, oh, ow, 1) float32. Both the bf16 chain (``fused_infer``) and the
+    int8 chain (``serve_int8.fused_infer_int8``) call this — one
+    implementation, no drift between serving modes."""
+    enhanced = clahe_fused(imgs_u8, interpret=interpret)  # (B, H, W) uint8
     tile_hw = (out_hw[0], out_hw[1] // 2)
 
     def crop_one(img, b1, b2):
@@ -53,11 +66,7 @@ def fused_infer(
                                precision=jax.lax.Precision.DEFAULT)
 
     crops = jax.vmap(crop_one)(enhanced, boxes1, boxes2)   # (B, oh, ow)
-    x = (crops / 255.0).astype(model.dtype)[..., None]      # (B, oh, ow, 1)
-    probs = model.apply(variables, x, train=False)
-    if threshold is None:
-        return probs
-    return probs > threshold
+    return (crops / 255.0)[..., None]
 
 
 def fused_infer_sharded(

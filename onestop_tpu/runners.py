@@ -108,18 +108,32 @@ def _out(out_dir) -> Path:
     return p
 
 
-def _maybe_cached(build_fn, cache_dir, task_name: str, pre_cfg, names):
+def _source_key(data_dir, kw) -> str:
+    """Identity of the data source for the cache key: the dataset directory,
+    or the synthetic-phantom generation knobs (with their defaults resolved
+    so kwargs-vs-defaults spellings hash alike)."""
+    if data_dir is not None:
+        return f"dir:{data_dir}"
+    return ("synthetic:n={n_synthetic},hw={synth_hw},s={synth_slices},"
+            "seed={seed}").format(
+        n_synthetic=kw.get("n_synthetic", 4), synth_hw=kw.get("synth_hw", 160),
+        synth_slices=kw.get("synth_slices", 16), seed=kw.get("seed", 0))
+
+
+def _maybe_cached(build_fn, cache_dir, task_name: str, pre_cfg, names,
+                  source_key: str = ""):
     """Build-or-load the preprocessed arrays — the reference's joblib pickle
     reload flow (dumps at holdout.py:648-666, reload
-    task1_crossval_3folds_unet.py:690-692). Keyed on (task, preprocess-config
-    hash) so a config change never serves stale arrays."""
+    task1_crossval_3folds_unet.py:690-692). Keyed on (task, preprocess-config,
+    data-source) so neither a config change nor a different dataset ever
+    serves stale arrays."""
     if cache_dir is None:
         return build_fn()
     import hashlib
 
     from onestop_tpu.data.cache import cached_dataset
 
-    h = hashlib.md5(repr(pre_cfg).encode()).hexdigest()[:10]
+    h = hashlib.md5((repr(pre_cfg) + "|" + source_key).encode()).hexdigest()[:10]
     return cached_dataset(build_fn, Path(cache_dir) / f"{task_name}_{h}", names)
 
 
@@ -204,11 +218,13 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
                                        verbose=verbose)
     train_time = time.perf_counter() - t0
 
-    # restore the best-val-dice snapshot (ModelCheckpoint load, ref :1073)
-    if best["val_dice_coeff"]["params"] is not None:
+    # restore the best-val-dice snapshot (ModelCheckpoint load, ref :1073);
+    # if the config monitors only val_loss, restore that best instead
+    primary = "val_dice_coeff" if "val_dice_coeff" in best else next(iter(best), None)
+    if primary is not None and best[primary]["params"] is not None:
         state = dataclasses.replace(
-            state, params=best["val_dice_coeff"]["params"],
-            batch_stats=best["val_dice_coeff"]["batch_stats"])
+            state, params=best[primary]["params"],
+            batch_stats=best[primary]["batch_stats"])
 
     probs = trainer.predict(state, x_val)
     sw = task_cfg.sweep
@@ -217,7 +233,10 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
                           batch_size=sw.eval_batch_size if sw.batchwise else None)
     val_loss, val_dice = trainer.evaluate(state, x_val, y_val)
 
-    ckpt = out_dir / metric_stamped_name(name, best["val_dice_coeff"]["value"] or val_dice)
+    best_dice_val = (best["val_dice_coeff"]["value"]
+                     if "val_dice_coeff" in best and best["val_dice_coeff"]["params"] is not None
+                     else None)
+    ckpt = out_dir / metric_stamped_name(name, best_dice_val or val_dice)
     save_checkpoint(ckpt, state.params, state.batch_stats,
                     {"val_dice": val_dice, "val_loss": val_loss,
                      "best_threshold": report["best_threshold"]})
@@ -343,7 +362,8 @@ def _seg_data(data, data_dir, task_cfg, cache_dir, task_name, kw):
         triples = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
         return build_segmentation_dataset(triples, task_cfg.preprocess)
     return _maybe_cached(_build, cache_dir, task_name, task_cfg.preprocess,
-                         ("cts_cropped_lungs_224", "infections_cropped_lungs_224"))
+                         ("cts_cropped_lungs_224", "infections_cropped_lungs_224"),
+                         source_key=_source_key(data_dir, kw))
 
 
 def holdout_runner_unet_infection_segmentation(
@@ -455,7 +475,8 @@ def runner_classification(
             t = list(_case_slice_triples(data_dir, task_cfg.preprocess, **kw))
             return build_classification_dataset(t, task_cfg.preprocess)
         x, y = _maybe_cached(_build, cache_dir, "task2", task_cfg.preprocess,
-                             ("cts_cropped_lungs_224", "y_label"))
+                             ("cts_cropped_lungs_224", "y_label"),
+                             source_key=_source_key(data_dir, kw))
     else:
         x, y = data
     y = np.asarray(y).astype(np.float32)
@@ -532,7 +553,8 @@ def runner_lung_segmentation(
                                              with_infection=False, **kw))
             return build_lung_dataset(pairs, task_cfg.preprocess)
         x, y = _maybe_cached(_build, cache_dir, "task3", task_cfg.preprocess,
-                             ("cts_cropped_lungs_224", "lungs_cropped_224"))
+                             ("cts_cropped_lungs_224", "lungs_cropped_224"),
+                             source_key=_source_key(data_dir, kw))
     else:
         x, y = data
     model = _build_unet(task_cfg)
@@ -576,15 +598,23 @@ def runner_production_chain(
     train_triples, (ct_e, lung_e, inf_e) = triples[:-1], triples[-1]
 
     # stage-1 model: full-frame lung U-Net
-    xl, yl = build_plain_lung_dataset(
-        [(ct, lung) for ct, lung, _ in train_triples], task3.preprocess)
+    src_key = _source_key(data_dir, kw) + "|trainset=all-but-last"
+    xl, yl = _maybe_cached(
+        lambda: build_plain_lung_dataset(
+            [(ct, lung) for ct, lung, _ in train_triples], task3.preprocess),
+        cache_dir, "chain_lung_plain", task3.preprocess,
+        ("cts_fullframe", "lungs_fullframe"), source_key=src_key)
     lung_model = _build_unet(task3)
     lung_res = _run_holdout_segmentation(
         lung_model, task3, xl, yl, out_dir, "unet_lung_fullframe",
         verbose=verbose, mesh=mesh)
 
     # stage-3 model: the standard task1 infection U-Net
-    xi, yi = build_segmentation_dataset(train_triples, pre)
+    xi, yi = _maybe_cached(
+        lambda: build_segmentation_dataset(train_triples, pre),
+        cache_dir, "chain_task1", pre,
+        ("cts_cropped_lungs_224", "infections_cropped_lungs_224"),
+        source_key=src_key)
     seg_model = _build_unet(task1)
     seg_res = _run_holdout_segmentation(
         seg_model, task1, xi, yi, out_dir, "unet_infection_for_chain",

@@ -149,19 +149,11 @@ def fused_infer_int8(
     threshold: float | None = 0.5,
     interpret: bool = False,
 ):
-    """The serving chain (ops.pipeline.fused_infer) with the int8 U-Net."""
-    from onestop_tpu.ops.clahe_pallas import clahe_fused
-    from onestop_tpu.ops.crop import fuse_lung_crops
+    """The serving chain (ops.pipeline.fused_infer) with the int8 U-Net;
+    preprocessing is shared with the bf16 path (pipeline.serving_preproc)."""
+    from onestop_tpu.ops.pipeline import serving_preproc
 
-    enhanced = clahe_fused(imgs_u8, interpret=interpret)
-    tile_hw = (out_hw[0], out_hw[1] // 2)
-
-    def crop_one(img, b1, b2):
-        return fuse_lung_crops(img.astype(jnp.float32), b1, b2, tile_hw,
-                               precision=jax.lax.Precision.DEFAULT)
-
-    crops = jax.vmap(crop_one)(enhanced, boxes1, boxes2)
-    x = (crops / 255.0)[..., None]
+    x = serving_preproc(imgs_u8, boxes1, boxes2, out_hw, interpret=interpret)
     probs = unet_apply_int8(q, x)
     if threshold is None:
         return probs

@@ -55,9 +55,12 @@ def make_adam(cfg: TrainConfig):
 
 
 def _with_axis(fn: Callable, axis_name: str | None) -> Callable:
-    """Bind axis_name into a loss/metric if it supports it (all onestop
-    losses do); custom callables without the kwarg are used as-is (their
-    reductions are then shard-local — only correct off the DP path)."""
+    """Bind axis_name into a loss/metric (all onestop losses support it).
+
+    Under data parallelism a loss without collective reductions would
+    silently optimize a *different* objective (the mean of shard-local
+    losses) and report one arbitrary shard's value, so a callable that
+    cannot take axis_name is an error on the DP path — not a degradation."""
     if axis_name is None:
         return fn
     import inspect
@@ -67,7 +70,10 @@ def _with_axis(fn: Callable, axis_name: str | None) -> Callable:
             return functools.partial(fn, axis_name=axis_name)
     except (TypeError, ValueError):  # builtins / partials without signatures
         pass
-    return fn
+    raise ValueError(
+        f"loss/metric {getattr(fn, '__name__', fn)!r} does not accept axis_name; "
+        "data-parallel training requires psum-aware reductions (see "
+        "onestop_tpu.losses for the pattern)")
 
 
 class Trainer:
@@ -174,8 +180,13 @@ class Trainer:
                         xb = ab[..., None]
                         yb = sb[..., None]
 
+                # distinct dropout masks per shard (a shared key would give
+                # every shard's batch rows the same masks — neither the
+                # single-device pattern nor independent draws)
+                dkey = jax.random.fold_in(key, jax.lax.axis_index(dp)) if dp else key
+
                 def loss_of(p):
-                    probs, new_bs = apply_train(p, batch_stats, xb, key)
+                    probs, new_bs = apply_train(p, batch_stats, xb, dkey)
                     l = loss_fn(yb, probs, weights=wb)
                     m = metric_fn(yb * L._broadcast(wb, yb.ndim), probs * L._broadcast(wb, probs.ndim))
                     return l, (new_bs, m)
@@ -350,6 +361,15 @@ class Trainer:
                     if name != "val_auc" or track_auc}
         if track_auc:
             monitors.setdefault("val_auc", "max")
+        # a monitor this run can never produce would otherwise silently
+        # record no best snapshot (params=None after the whole training run)
+        producible = {"val_loss", f"val_{metric_name}"} | ({"val_auc"} if track_auc else set())
+        unknown = set(monitors) - producible
+        if unknown:
+            raise ValueError(
+                f"cfg.monitor names {sorted(unknown)} are never produced by this "
+                f"trainer (seg_metrics={self.seg_metrics}, track_auc={track_auc}); "
+                f"valid monitors here: {sorted(producible)}")
         best = {k: {"value": -np.inf if m == "max" else np.inf, "epoch": -1,
                     "params": None, "batch_stats": None}
                 for k, m in monitors.items()}

@@ -148,3 +148,35 @@ def test_runner_cache_skips_second_ingestion(tmp_path, monkeypatch):
     r2 = R.runner_lung_segmentation(out_dir=tmp_path / "b", cache_dir=cache, **_KW)
     assert calls["n"] == 1                       # second run loaded the cache
     assert r1["n_train"] == r2["n_train"]
+
+
+def test_monitor_unproducible_raises():
+    """Review r2: a monitor this run can never produce must fail loudly, not
+    silently record no best snapshot."""
+    import jax
+    import numpy as np
+    import pytest as _pt
+
+    from onestop_tpu.config import TrainConfig
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(batch_size=4, epochs=1, cosine_annealing=False,
+                      monitor=("val_dice_coeff",))  # classifier emits val_f1
+    tr = Trainer(ClassifierCNN(widths=(2,), dense=4), cfg, seg_metrics=False)
+    st = tr.init_state(jax.random.PRNGKey(0), (16, 16, 1))
+    x = np.random.default_rng(0).random((8, 16, 16, 1)).astype(np.float32)
+    y = (np.random.default_rng(1).random((8, 1)) > 0.5).astype(np.float32)
+    with _pt.raises(ValueError, match="never produced"):
+        tr.fit(st, x, y, x, y)
+
+
+def test_cache_key_includes_data_source(tmp_path):
+    """Review r2: same preprocess config but a different dataset must not
+    serve stale cached arrays."""
+    from onestop_tpu import runners as R
+
+    kw = dict(small_run=True, cache_dir=tmp_path, out_dir=tmp_path)
+    r1 = R.runner_lung_segmentation(n_synthetic=2, synth_hw=128, synth_slices=10, **kw)
+    r2 = R.runner_lung_segmentation(n_synthetic=3, synth_hw=128, synth_slices=10, **kw)
+    assert r2["n_train"] + r2["n_val"] > r1["n_train"] + r1["n_val"]

@@ -73,3 +73,27 @@ def test_balanced_class_weights_matches_sklearn():
     ref = class_weight.compute_class_weight("balanced", classes=np.array([0, 1]), y=y)
     got = np.asarray(L.balanced_class_weights(jnp.asarray(y)))
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+def test_tversky_and_weighted_bce_dice_accept_weights_and_axis():
+    """Review r2: every LOSSES-registry entry must support the Trainer call
+    convention loss(y, p, weights=...) and the DP axis_name kwarg — a
+    registry loss that can't take them is unusable (or silently shard-local
+    under data parallelism)."""
+    import inspect
+
+    rng = np.random.default_rng(0)
+    t = (rng.random((4, 16, 16, 1)) > 0.5).astype(np.float32)
+    p = rng.random((4, 16, 16, 1)).astype(np.float32)
+    w_full = np.ones(4, np.float32)
+    w_mask = np.array([1, 1, 1, 0], np.float32)
+    for name, fn in L.LOSSES.items():
+        sig = inspect.signature(fn).parameters
+        assert "weights" in sig and "axis_name" in sig, name
+        full = float(fn(jnp.asarray(t), jnp.asarray(p), weights=jnp.asarray(w_full)))
+        base = float(fn(jnp.asarray(t), jnp.asarray(p)))
+        assert full == pytest.approx(base, rel=1e-6), name  # ones-weights no-op
+        # masking the last sample == dropping it
+        masked = float(fn(jnp.asarray(t), jnp.asarray(p), weights=jnp.asarray(w_mask)))
+        dropped = float(fn(jnp.asarray(t[:3]), jnp.asarray(p[:3])))
+        assert masked == pytest.approx(dropped, rel=1e-5), name

@@ -87,3 +87,14 @@ def test_cli_dispatch(tmp_path, monkeypatch, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "runner_lung_segmentation" in out
+
+
+def test_production_chain_runner(tmp_path):
+    """Menu 'seven': the chained no-GT pipeline trains both stages and
+    reports the predicted-vs-GT-box dice delta."""
+    res = R.runner_production_chain(out_dir=tmp_path, small_run=True,
+                                    n_synthetic=3, synth_hw=128, synth_slices=10)
+    assert 0 <= res["dice_chained"] <= 1
+    assert 0 <= res["dice_gt_boxes"] <= 1
+    assert res["n_eval_slices"] > 0
+    assert (tmp_path / "production_chain_report.json").exists()

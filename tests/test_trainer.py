@@ -70,7 +70,8 @@ def test_classifier_with_class_weights_and_auc():
     y = (rng.random(n) > 0.3).astype(np.float32)
     x = (y[:, None, None, None] * 0.6 + 0.3 * rng.random((n, hw, hw, 1))).astype(np.float32)
     cfg = TrainConfig(batch_size=8, epochs=6, loss="bce", cosine_annealing=False,
-                      learning_rate=1e-3, use_class_weight=True)
+                      learning_rate=1e-3, use_class_weight=True,
+                      monitor=("val_loss", "val_auc"))  # classifier monitors (task2)
     tr = Trainer(ClassifierCNN(widths=(4, 8), dense=8), cfg, seg_metrics=False)
     state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
     from onestop_tpu.losses import balanced_class_weights
