@@ -286,13 +286,16 @@ class FoldParallelTrainer:
 
             for f in range(F):
                 if epoch < budgets[f] and vd[f] > best[f]["value"]:
-                    # slice on device, fetch only this fold's weights
+                    # device-side slice+copy of this fold's weights only —
+                    # no host fetch per improving epoch (the tunnel charges
+                    # ~300 ms per full-tree device_get), and the copy stays
+                    # valid after next epoch donates the states' buffers
                     best[f] = {
                         "value": float(vd[f]), "epoch": epoch,
-                        "params": jax.device_get(
-                            jax.tree_util.tree_map(lambda a: a[f], states.params)),
-                        "batch_stats": jax.device_get(
-                            jax.tree_util.tree_map(lambda a: a[f], states.batch_stats)),
+                        "params": jax.tree_util.tree_map(
+                            lambda a: jnp.array(a[f]), states.params),
+                        "batch_stats": jax.tree_util.tree_map(
+                            lambda a: jnp.array(a[f]), states.batch_stats),
                     }
             if verbose:
                 print(f"epoch {epoch + 1}/{total_epochs} "

@@ -409,16 +409,26 @@ class Trainer:
                 history["auc_val"].append(a_va)
                 epoch_vals["val_auc"] = a_va
 
+            snapshot = None
             for name, mode in monitors.items():
                 if name not in epoch_vals:
                     continue
                 v = epoch_vals[name]
                 better = v > best[name]["value"] if mode == "max" else v < best[name]["value"]
                 if better:
+                    if snapshot is None:
+                        # device-side copy, NOT device_get: fetching the full
+                        # parameter tree to host every improving epoch costs
+                        # ~300 ms through this session's tunnel (and real
+                        # PCIe time anywhere); a copy also stays valid after
+                        # epoch_fn donates the state's buffers next epoch
+                        snapshot = (
+                            jax.tree_util.tree_map(jnp.array, state.params),
+                            jax.tree_util.tree_map(jnp.array, state.batch_stats),
+                        )
                     best[name] = {
                         "value": v, "epoch": epoch,
-                        "params": jax.device_get(state.params),
-                        "batch_stats": jax.device_get(state.batch_stats),
+                        "params": snapshot[0], "batch_stats": snapshot[1],
                     }
             history["epoch_seconds"].append(timer.stop())
             logger.log({"epoch": epoch, "lr": lr,
