@@ -227,3 +227,33 @@ def plot_lr_schedule(lrs, title="Learning rate", path=None):
         fig.savefig(path, bbox_inches="tight")
         plt.close(fig)
     return fig
+
+
+def plot_production_chain(raw_u8, lung_mask, boxes1, boxes2, infection_mask,
+                          path=None):
+    """Gallery for the chained no-GT pipeline (onestop_tpu.production): raw
+    slice -> predicted lung mask -> predicted boxes on the raw slice ->
+    infection mask in the crop frame. The reference has no counterpart —
+    its pipeline cannot run without ground-truth boxes (SURVEY.md §8 Q2)."""
+    plt = _plt()
+    import matplotlib.patches as patches
+
+    fig, axes = plt.subplots(1, 4, figsize=(18, 4.6))
+    axes[0].imshow(np.asarray(raw_u8), cmap="bone")
+    axes[0].set_title("raw CT slice")
+    axes[1].imshow(np.asarray(lung_mask), cmap="bone")
+    axes[1].set_title("predicted lung mask")
+    axes[2].imshow(np.asarray(raw_u8), cmap="bone")
+    for b, color in ((boxes1, "tab:orange"), (boxes2, "tab:cyan")):
+        x, y, w, h = (float(v) for v in np.asarray(b))
+        axes[2].add_patch(patches.Rectangle((x, y), w, h, linewidth=2,
+                                            edgecolor=color, facecolor="none"))
+    axes[2].set_title("predicted lung boxes")
+    axes[3].imshow(np.asarray(infection_mask), cmap="bone")
+    axes[3].set_title("infection mask (crop frame)")
+    for ax in axes:
+        ax.axis("off")
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig

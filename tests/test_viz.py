@@ -44,3 +44,13 @@ def test_demo_panels_render(tmp_path, rng):
                               path=tmp_path / "cm.png")
     for f in ("clahe_demo", "cropper_demo", "cm"):
         assert (tmp_path / f"{f}.png").stat().st_size > 1000
+
+
+def test_plot_production_chain(tmp_path, rng):
+    raw = rng.integers(0, 256, (128, 128), dtype=np.uint8)
+    lung = rng.random((64, 64)) > 0.5
+    inf = rng.random((64, 64)) > 0.8
+    viz.plot_production_chain(raw, lung, np.array([20.0, 30.0, 35.0, 60.0]),
+                              np.array([70.0, 28.0, 40.0, 64.0]), inf,
+                              path=tmp_path / "chain.png")
+    assert (tmp_path / "chain.png").exists()
