@@ -56,12 +56,15 @@ from onestop_tpu.parallel.cv import cross_validate
 # ---------------------------------------------------------------------------
 
 def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
-                        synth_slices=16, seed=0, with_infection=True):
+                        synth_slices=16, seed=0, with_infection=True,
+                        infected_fraction=0.9):
     """Yield (ct, lung[, infection]) slice stacks per case.
 
     data_dir: Kaggle layout — metadata.csv with ct_scan/lung_mask/
     infection_mask columns (ref ``holdout.py:135-137``). Falls back to
-    synthetic phantoms when absent (no network in this environment)."""
+    synthetic phantoms when absent (no network in this environment);
+    infected_fraction tunes the phantom class balance (classification
+    experiments want more clean cases than the segmentation default)."""
     cfg = cfg or C.PreprocessConfig()
     if data_dir is not None:
         from onestop_tpu.data.acquire import load_metadata
@@ -78,7 +81,8 @@ def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
                 yield (_vol("ct_scan"), _vol("lung_mask"))
     else:
         for case in synthetic_dataset(n_cases=n_synthetic, hw=synth_hw,
-                                      n_slices=synth_slices, seed=seed):
+                                      n_slices=synth_slices, seed=seed,
+                                      infected_fraction=infected_fraction):
             ct = load_slices(case.ct, cfg.img_size, cfg.slice_lo, cfg.slice_hi)
             lung = load_slices(case.lung_mask, cfg.img_size, cfg.slice_lo, cfg.slice_hi)
             if with_infection:
@@ -115,9 +119,10 @@ def _source_key(data_dir, kw) -> str:
     if data_dir is not None:
         return f"dir:{data_dir}"
     return ("synthetic:n={n_synthetic},hw={synth_hw},s={synth_slices},"
-            "seed={seed}").format(
+            "seed={seed},inf={inf}").format(
         n_synthetic=kw.get("n_synthetic", 4), synth_hw=kw.get("synth_hw", 160),
-        synth_slices=kw.get("synth_slices", 16), seed=kw.get("seed", 0))
+        synth_slices=kw.get("synth_slices", 16), seed=kw.get("seed", 0),
+        inf=kw.get("infected_fraction", 0.9))
 
 
 def _maybe_cached(build_fn, cache_dir, task_name: str, pre_cfg, names,
