@@ -59,23 +59,52 @@ def confusion_at_threshold(y_true, y_score, threshold: float = 0.5):
     return tn, fp, fn, tp
 
 
-def classification_report(y_true, y_score, thresholds=(0.50, 0.81)) -> dict:
+def _threshold_stats(y_true, y_score, t: float) -> dict:
+    tn, fp, fn, tp = confusion_at_threshold(y_true, y_score, t)
+    acc = (tp + tn) / max(tp + tn + fp + fn, 1)
+    prec = tp / max(tp + fp, 1)
+    rec = tp / max(tp + fn, 1)
+    f1 = 2 * prec * rec / max(prec + rec, 1e-12)
+    return {"confusion": (tn, fp, fn, tp), "accuracy": acc,
+            "precision": prec, "recall": rec, "f1": f1}
+
+
+def best_threshold(y_true, y_score, metric: str = "accuracy",
+                   n_thresholds: int = 999) -> tuple[float, dict]:
+    """Search a uniform threshold grid for the best ``metric`` — the step
+    the reference performed by hand to find its 0.81 (ref ``task2:957-989``
+    evaluates a second BinaryClassification at the threshold read off the
+    ROC plot; README.md advertises the 0.81 numbers). One vectorized pass.
+
+    Returns (threshold, stats_at_threshold)."""
+    y = np.asarray(y_true).ravel() > 0.5
+    s = np.asarray(y_score).ravel()
+    ths = np.linspace(0.001, 0.999, n_thresholds)
+    pred = s[None, :] > ths[:, None]
+    tp = (pred & y).sum(1).astype(np.float64)
+    fp = (pred & ~y).sum(1).astype(np.float64)
+    fn = (~pred & y).sum(1).astype(np.float64)
+    tn = (~pred & ~y).sum(1).astype(np.float64)
+    acc = (tp + tn) / np.maximum(tp + tn + fp + fn, 1)
+    prec = tp / np.maximum(tp + fp, 1)
+    rec = tp / np.maximum(tp + fn, 1)
+    f1 = 2 * prec * rec / np.maximum(prec + rec, 1e-12)
+    scores = {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1}[metric]
+    t = float(ths[int(np.argmax(scores))])
+    return t, _threshold_stats(y_true, y_score, t)
+
+
+def classification_report(y_true, y_score, thresholds=(0.50, 0.81),
+                          search_best: bool = True) -> dict:
     """The reference's manual report (ref task2:919-989): per threshold the
-    confusion matrix and accuracy/precision/recall/F1, plus overall AUC."""
+    confusion matrix and accuracy/precision/recall/F1, plus overall AUC.
+    search_best additionally runs ``best_threshold`` (accuracy) — the
+    reference's by-hand 0.81-finding step, automated."""
     out = {"auc": float(roc_auc(jnp.asarray(y_true), jnp.asarray(y_score)))}
-    per = {}
-    for t in thresholds:
-        tn, fp, fn, tp = confusion_at_threshold(y_true, y_score, t)
-        acc = (tp + tn) / max(tp + tn + fp + fn, 1)
-        prec = tp / max(tp + fp, 1)
-        rec = tp / max(tp + fn, 1)
-        f1 = 2 * prec * rec / max(prec + rec, 1e-12)
-        per[float(t)] = {
-            "confusion": (tn, fp, fn, tp),
-            "accuracy": acc,
-            "precision": prec,
-            "recall": rec,
-            "f1": f1,
-        }
-    out["at_threshold"] = per
+    out["at_threshold"] = {float(t): _threshold_stats(y_true, y_score, t)
+                           for t in thresholds}
+    if search_best:
+        t, stats = best_threshold(y_true, y_score, metric="accuracy")
+        out["best_threshold"] = t
+        out["at_best_threshold"] = stats
     return out

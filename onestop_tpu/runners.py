@@ -534,6 +534,8 @@ def runner_classification(
     results = {
         "name": "covid_classification", "auc": report["auc"],
         "report": report["at_threshold"],
+        "best_threshold": report["best_threshold"],
+        "at_best_threshold": report["at_best_threshold"],
         "train_seconds": train_time, "checkpoint": str(ckpt),
         "n_train": len(x_train), "n_val": len(x_val),
         "class_balance": [int((y == 0).sum()), int((y == 1).sum())],

@@ -81,3 +81,19 @@ def test_confusion_and_report(rng):
     assert at["accuracy"] == pytest.approx(3 / 5)
     assert at["precision"] == pytest.approx(2 / 3)
     assert at["recall"] == pytest.approx(2 / 3)
+
+
+def test_classification_best_threshold_search(rng):
+    """The automated version of the reference's by-hand 0.81 finding
+    (task2:957-989): a high-shifted score distribution must yield a high
+    best-accuracy threshold, and its stats must beat the fixed 0.50 row."""
+    from onestop_tpu.metrics.classification import classification_report
+
+    y = (rng.random(400) > 0.6).astype(np.float32)
+    # well-separated but calibration-shifted scores: negatives ~0.7, positives ~0.95
+    s = np.where(y > 0.5, 0.95, 0.70) + rng.normal(0, 0.03, 400)
+    rep = classification_report(y, s)
+    assert rep["auc"] > 0.99
+    assert 0.75 < rep["best_threshold"] < 0.93
+    assert rep["at_best_threshold"]["accuracy"] > rep["at_threshold"][0.5]["accuracy"]
+    assert rep["at_best_threshold"]["accuracy"] > 0.97
