@@ -10,10 +10,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timed  # noqa: E402  (also sets repo path + compile cache)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
 import jax.numpy as jnp
@@ -22,15 +21,6 @@ from onestop_tpu.ops.clahe_pallas import (
     tile_histograms, tile_histograms_nibble, _finalize_luts,
     _apply_luts_pallas, clahe_fused)
 
-
-def timed(fn, bufs, iters=None):
-    out = fn(*bufs[0])
-    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-    t0 = time.perf_counter()
-    outs = [fn(*x) for x in bufs]
-    for o in outs:
-        np.asarray(jax.tree_util.tree_leaves(o)[0].ravel()[0])
-    return (time.perf_counter() - t0) / len(bufs)
 
 
 def main():

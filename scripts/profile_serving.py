@@ -16,10 +16,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timed  # noqa: E402  (also sets repo path + compile cache)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
 import jax.numpy as jnp
@@ -29,17 +28,6 @@ from onestop_tpu.ops.clahe_pallas import clahe_fused
 from onestop_tpu.ops.crop import fuse_lung_crops
 from onestop_tpu.ops.pipeline import fused_infer
 
-
-def timed(fn, bufs, extra=()):
-    out = fn(bufs[0], *extra)
-    jax.tree_util.tree_map(lambda o: np.asarray(o.ravel()[0]), out)  # warm
-    t0 = time.perf_counter()
-    outs = [fn(x, *extra) for x in bufs]
-    for o in outs:
-        leaf = jax.tree_util.tree_leaves(o)[0]
-        np.asarray(leaf.ravel()[0])
-    dt = time.perf_counter() - t0
-    return dt / len(bufs)
 
 
 def main():

@@ -6,10 +6,9 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _timing import timed  # noqa: E402  (also sets repo path + compile cache)
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
 import jax.numpy as jnp
@@ -17,15 +16,6 @@ import jax.numpy as jnp
 from onestop_tpu.models import UNet
 from onestop_tpu.ops.pipeline import fused_infer
 
-
-def timed(fn, bufs):
-    out = fn(bufs[0])
-    np.asarray(out.ravel()[0])
-    t0 = time.perf_counter()
-    outs = [fn(x) for x in bufs]
-    for o in outs:
-        np.asarray(o.ravel()[0])
-    return (time.perf_counter() - t0) / len(bufs)
 
 
 def main():
