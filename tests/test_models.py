@@ -123,3 +123,20 @@ def test_s2d_stem_equals_plain_conv(rng):
         a = np.asarray(ref.apply(v, x))
         b = np.asarray(fast.apply(v, x))  # identical param names: kernel/bias
         np.testing.assert_allclose(a, b, rtol=0, atol=5e-6)
+
+
+def test_s2d_stem_flag_preserves_model_function(rng):
+    """s2d_stem=True must compute the same function (same param tree) for
+    every model family — runners train stem-on, serving loads the same
+    checkpoints stem-off."""
+    x = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    for make in (lambda s: UNet(widths=(4, 8), bridge=16, s2d_stem=s),
+                 lambda s: UNetPP(widths=(4, 8, 16, 32), s2d_stem=s),
+                 lambda s: ClassifierCNN(widths=(2, 4), dense=4, s2d_stem=s)):
+        off, on = make(False), make(True)
+        v = off.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        v2 = on.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+        a = np.asarray(off.apply(v, x, train=False))
+        b = np.asarray(on.apply(v, x, train=False))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5)
