@@ -78,14 +78,17 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-7             # Keras Adam epsilon
     loss: str = "bce_dice"             # task2: "bce"
-    # cosine annealing callback (ref :996) — constructed in the reference but
-    # left out of the committed fit() call; exposed here, default on per
-    # README.md:252-260 (SURVEY.md §8 Q10).
-    cosine_annealing: bool = True
+    # LR schedule selector — the reference's callback zoo (holdout.py:924-1035):
+    # "cosine"   — CosineAnnealingScheduler (ref :970-996); constructed in the
+    #              reference but left out of the committed fit() call; default
+    #              on per README.md:252-260 (SURVEY.md §8 Q10),
+    # "step"     — exponential step decay (ref :924-933, plotting-only there),
+    # "constant" — fixed Adam lr (the committed fit() behavior).
+    schedule: str = "cosine"
     cosine_t_max: int = 7
     cosine_eta_max: float = 5e-4
     cosine_eta_min: float = 1e-4
-    # step decay plotting-only schedule (ref :924-933)
+    # step decay parameters (ref :924-933), consumed when schedule="step"
     step_decay_init: float = 8e-4
     step_decay_drop: float = 0.8
     step_decay_epochs: int = 10
@@ -163,7 +166,7 @@ def task2_classification() -> TaskConfig:
         name="task2_classification",
         augment=AugmentConfig(rotate_deg=(-45.0, 45.0), n_samples=100),
         train=TrainConfig(
-            epochs=25, loss="bce", cosine_annealing=False,
+            epochs=25, loss="bce", schedule="constant",
             use_class_weight=True, monitor=("val_loss", "val_auc"),
         ),
         split=SplitConfig(stratified=True),

@@ -21,6 +21,8 @@ class ClassifierCNN(nn.Module):
     dropout: float = 0.4
     dtype: jnp.dtype = jnp.float32
     bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
+    bn_momentum: float = 0.99   # Keras BatchNormalization defaults
+    bn_epsilon: float = 1e-3
     s2d_stem: bool = False  # space-to-depth first conv (see models/unet.py)
 
     @nn.compact
@@ -35,7 +37,8 @@ class ClassifierCNN(nn.Module):
                     x = nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
                                 dtype=self.dtype, name=f"s{i}_conv{j}")(x)
                 x = nn.relu(x)
-                x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}", axis_name=self.bn_axis)(x)
+                x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}", axis_name=self.bn_axis,
+                               momentum=self.bn_momentum, epsilon=self.bn_epsilon)(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
         x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.dense, kernel_init=glorot_uniform(),

@@ -18,15 +18,21 @@ BN_MOMENTUM = 0.99
 BN_EPSILON = 1e-3
 
 
-def batch_norm(train: bool, dtype=jnp.float32, name=None, axis_name=None) -> nn.BatchNorm:
+def batch_norm(train: bool, dtype=jnp.float32, name=None, axis_name=None,
+               momentum: float = BN_MOMENTUM,
+               epsilon: float = BN_EPSILON) -> nn.BatchNorm:
     """axis_name: mesh axis for cross-device (sync) batch statistics — under
     data parallelism the batch is sharded over 'data', and syncing BN stats
     keeps training numerics identical to the single-device run (the
-    reference is single-device Keras, so sync-BN IS the parity behavior)."""
+    reference is single-device Keras, so sync-BN IS the parity behavior).
+
+    momentum/epsilon default to the Keras BatchNormalization values the
+    reference's models use implicitly; models thread them through from
+    ``ModelConfig.bn_momentum``/``bn_epsilon``."""
     return nn.BatchNorm(
         use_running_average=not train,
-        momentum=BN_MOMENTUM,
-        epsilon=BN_EPSILON,
+        momentum=momentum,
+        epsilon=epsilon,
         dtype=dtype,
         name=name,
         axis_name=axis_name,

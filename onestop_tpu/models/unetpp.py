@@ -27,7 +27,13 @@ class UNetPP(nn.Module):
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     bn_axis: str | None = None  # mesh axis for sync-BN under data parallelism
+    bn_momentum: float = 0.99   # Keras BatchNormalization defaults
+    bn_epsilon: float = 1e-3
     s2d_stem: bool = False  # space-to-depth first conv (see models/unet.py)
+
+    def _bn(self, train, name):
+        return batch_norm(train, self.dtype, name=name, axis_name=self.bn_axis,
+                          momentum=self.bn_momentum, epsilon=self.bn_epsilon)
 
     def _conv(self, w, name):
         return nn.Conv(w, (3, 3), padding="SAME", kernel_init=he_normal(),
@@ -51,15 +57,15 @@ class UNetPP(nn.Module):
                 h = nn.elu(self._conv(w, f"{name}_conv0")(h))
             h = drop(self.backbone_dropout, f"{name}_drop")(h)
             h = nn.elu(self._conv(w, f"{name}_conv1")(h))
-            return batch_norm(train, self.dtype, name=f"{name}_bn", axis_name=self.bn_axis)(h)
+            return self._bn(train, f"{name}_bn")(h)
 
         def conv_block(h, w, name):
             h = nn.elu(self._conv(w, f"{name}_conv0")(h))
             h = drop(self.block_dropout, f"{name}_drop0")(h)
-            h = batch_norm(train, self.dtype, name=f"{name}_bn0", axis_name=self.bn_axis)(h)
+            h = self._bn(train, f"{name}_bn0")(h)
             h = nn.elu(self._conv(w, f"{name}_conv1")(h))
             h = drop(self.block_dropout, f"{name}_drop1")(h)
-            return batch_norm(train, self.dtype, name=f"{name}_bn1", axis_name=self.bn_axis)(h)
+            return self._bn(train, f"{name}_bn1")(h)
 
         w1, w2, w3, w4 = self.widths
         c1 = backbone_block(x, w1, "c1")

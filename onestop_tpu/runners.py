@@ -189,7 +189,22 @@ def _build_unet(task_cfg: C.TaskConfig):
     m = task_cfg.model
     return UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
                 dropout=m.unet_dropout, dtype=jnp.dtype(m.compute_dtype),
+                bn_momentum=m.bn_momentum, bn_epsilon=m.bn_epsilon,
                 s2d_stem=True)
+
+
+def _model_input_shape(task_cfg: C.TaskConfig, x) -> tuple:
+    """The model-facing input shape from ModelConfig (in_size, in_channels) —
+    validated against the actual data so a config/data mismatch fails loudly
+    instead of silently training a model at whatever shape arrived."""
+    m = task_cfg.model
+    shape = (m.in_size, m.in_size, m.in_channels)
+    if tuple(x.shape[1:]) != shape:
+        raise ValueError(
+            f"dataset slices have shape {tuple(x.shape[1:])} but "
+            f"ModelConfig expects {shape} (in_size={m.in_size}, "
+            f"in_channels={m.in_channels}); adjust ModelConfig or the data")
+    return shape
 
 
 def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
@@ -217,7 +232,8 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
     trainer = Trainer(model, task_cfg.train,
                       augment_cfg=task_cfg.augment if per_batch else None,
                       mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
+    state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed),
+                               _model_input_shape(task_cfg, x))
     t0 = time.perf_counter()
     state, history, best = trainer.fit(state, x_train, y_train, x_val, y_val,
                                        verbose=verbose)
@@ -274,6 +290,7 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
     out_dir = _out(out_dir)
     sp = task_cfg.split
     folds = kfold_indices(len(x), sp.n_folds, sp.seed)
+    _model_input_shape(task_cfg, x)   # validate data vs ModelConfig.in_size/in_channels
     model = _build_unet(task_cfg)
     t0 = time.perf_counter()
     if cv_mode == "auto":
@@ -452,7 +469,9 @@ def holdout_runner_unetplusplus_infection_segmentation(
     model = UNetPP(widths=tuple(m.unetpp_widths),
                    backbone_dropout=m.unetpp_backbone_dropout,
                    block_dropout=m.unetpp_block_dropout,
-                   dtype=jnp.dtype(m.compute_dtype), s2d_stem=True)
+                   dtype=jnp.dtype(m.compute_dtype),
+                   bn_momentum=m.bn_momentum, bn_epsilon=m.bn_epsilon,
+                   s2d_stem=True)
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
                                      "unetpp_covid_holdout", verbose=verbose,
                                      use_augmentation=use_augmentation, mesh=mesh)
@@ -505,11 +524,13 @@ def runner_classification(
     m = task_cfg.model
     model = ClassifierCNN(widths=tuple(m.cls_widths), dense=m.cls_dense,
                           dropout=m.cls_dropout, dtype=jnp.dtype(m.compute_dtype),
+                          bn_momentum=m.bn_momentum, bn_epsilon=m.bn_epsilon,
                           s2d_stem=True)
     trainer = Trainer(model, task_cfg.train, seg_metrics=False,
                       augment_cfg=task_cfg.augment if per_batch else None,
                       augment_images_only=True, mesh=mesh)
-    state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed), x.shape[1:])
+    state = trainer.init_state(jax.random.PRNGKey(task_cfg.train.init_seed),
+                               _model_input_shape(task_cfg, x))
 
     sw = None
     if task_cfg.train.use_class_weight:

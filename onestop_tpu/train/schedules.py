@@ -24,7 +24,14 @@ def constant_lr(epoch: int, lr: float = 5e-4) -> float:
 
 
 def schedule_from_config(cfg):
-    """TrainConfig -> epoch->lr callable."""
-    if cfg.cosine_annealing:
+    """TrainConfig -> epoch->lr callable, selected by ``cfg.schedule``:
+    "cosine" (cosine_t_max/eta_max/eta_min), "step" (step_decay_init/drop/
+    epochs), or "constant" (learning_rate)."""
+    if cfg.schedule == "cosine":
         return lambda e: cosine_annealing_lr(e, cfg.cosine_t_max, cfg.cosine_eta_max, cfg.cosine_eta_min)
-    return lambda e: constant_lr(e, cfg.learning_rate)
+    if cfg.schedule == "step":
+        return lambda e: step_decay_lr(e, cfg.step_decay_init, cfg.step_decay_drop, cfg.step_decay_epochs)
+    if cfg.schedule == "constant":
+        return lambda e: constant_lr(e, cfg.learning_rate)
+    raise ValueError(f"unknown TrainConfig.schedule {cfg.schedule!r}; "
+                     "expected 'cosine', 'step', or 'constant'")

@@ -52,7 +52,7 @@ def main():
     y = (rng.random((64, 224, 224, 1)) > 0.7).astype(np.float32)
     for stem in (False, True):
         model = UNet(dtype=jnp.bfloat16, s2d_stem=stem)
-        tr = Trainer(model, C.TrainConfig(batch_size=32, epochs=1, cosine_annealing=False))
+        tr = Trainer(model, C.TrainConfig(batch_size=32, epochs=1, schedule="constant"))
         st = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
         t0 = time.perf_counter()
         st, hist, best = tr.fit(st, x, y, x[:32], y[:32])

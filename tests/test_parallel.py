@@ -35,7 +35,7 @@ def test_cross_validate_fold_parallel(tiny_data):
     x, y = tiny_data
     folds = kfold_indices(len(x), 4, seed=42)
     mesh = make_mesh(n_folds=4)
-    cfg = TrainConfig(batch_size=8, epochs=4, cosine_annealing=False, learning_rate=1e-3)
+    cfg = TrainConfig(batch_size=8, epochs=4, schedule="constant", learning_rate=1e-3)
     tr, states, hist, best = cross_validate(
         UNet(widths=(4, 8), bridge=16), cfg, x, y, folds, mesh=mesh)
     assert hist["val_dice"].shape == (4, 4)  # (epochs, folds)
@@ -48,7 +48,7 @@ def test_unequal_epoch_budgets_freeze_folds(tiny_data):
     """3-fold 80/20/20 analog: folds over budget must stop changing."""
     x, y = tiny_data
     folds = kfold_indices(len(x), 3, seed=42)
-    cfg = TrainConfig(batch_size=8, epochs=4, cosine_annealing=False, learning_rate=1e-3)
+    cfg = TrainConfig(batch_size=8, epochs=4, schedule="constant", learning_rate=1e-3)
     tr, states, hist, best = cross_validate(
         UNet(widths=(4,), bridge=8), cfg, x, y, folds, epochs_per_fold=[4, 2, 2])
     # folds 1,2 frozen after epoch 2: val loss constant afterwards
@@ -64,7 +64,7 @@ def test_states_sharded_on_fold_axis(tiny_data):
     folds = kfold_indices(len(x), 4, seed=42)
     mesh = make_mesh(n_folds=4)
     from onestop_tpu.parallel.cv import FoldParallelTrainer
-    cfg = TrainConfig(batch_size=8, epochs=1, cosine_annealing=False)
+    cfg = TrainConfig(batch_size=8, epochs=1, schedule="constant")
     tr = FoldParallelTrainer(UNet(widths=(4,), bridge=8), cfg, n_folds=4, mesh=mesh)
     states = tr.init_states(jax.random.PRNGKey(0), x.shape[1:])
     leaf = jax.tree_util.tree_leaves(states.params)[0]
@@ -79,7 +79,7 @@ def test_states_sharded_on_fold_axis(tiny_data):
 def _dp_setup(tiny_data, mesh):
     from onestop_tpu.train.trainer import Trainer
     x, y = tiny_data
-    cfg = TrainConfig(batch_size=8, epochs=3, cosine_annealing=False,
+    cfg = TrainConfig(batch_size=8, epochs=3, schedule="constant",
                       learning_rate=1e-3)
     model = UNet(widths=(4,), bridge=8, dropout=0.0)  # dropout off: per-shard
     # masks are the one documented DP divergence
@@ -179,7 +179,7 @@ def test_fold_parallel_dp_matches_vmap_folds(tiny_data):
     sync-BN reconstruct the full-batch numerics."""
     x, y = tiny_data
     folds = kfold_indices(len(x), 4, seed=42)
-    cfg = TrainConfig(batch_size=8, epochs=3, cosine_annealing=False,
+    cfg = TrainConfig(batch_size=8, epochs=3, schedule="constant",
                       learning_rate=1e-3)
     model = UNet(widths=(4,), bridge=8, dropout=0.0)
     _, _, hist_ref, best_ref = cross_validate(model, cfg, x, y, folds, mesh=None)

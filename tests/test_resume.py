@@ -22,7 +22,7 @@ def data():
 
 
 def _cfg():
-    return TrainConfig(batch_size=4, epochs=6, cosine_annealing=False, learning_rate=1e-3)
+    return TrainConfig(batch_size=4, epochs=6, schedule="constant", learning_rate=1e-3)
 
 
 def test_resume_is_bitwise_identical(tmp_path, data):

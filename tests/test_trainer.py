@@ -31,7 +31,7 @@ def small_unet():
 
 def test_overfit_tiny_unet(tiny_seg_data):
     x, y = tiny_seg_data
-    cfg = TrainConfig(batch_size=8, epochs=60, cosine_annealing=False, learning_rate=2e-3)
+    cfg = TrainConfig(batch_size=8, epochs=60, schedule="constant", learning_rate=2e-3)
     tr = Trainer(small_unet(), cfg)
     state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
     state, hist, best = tr.fit(state, x, y, x, y)
@@ -45,7 +45,7 @@ def test_variable_last_batch(tiny_seg_data):
     """n=13 with bs=8 -> padded batch; loss must be finite and training sane."""
     x, y = tiny_seg_data
     x, y = x[:13], y[:13]
-    cfg = TrainConfig(batch_size=8, epochs=2, cosine_annealing=False)
+    cfg = TrainConfig(batch_size=8, epochs=2, schedule="constant")
     tr = Trainer(small_unet(), cfg)
     state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
     state, hist, _ = tr.fit(state, x, y, x, y)
@@ -53,7 +53,7 @@ def test_variable_last_batch(tiny_seg_data):
 
 
 def test_cosine_lr_history():
-    cfg = TrainConfig(batch_size=8, epochs=8, cosine_annealing=True)
+    cfg = TrainConfig(batch_size=8, epochs=8, schedule="cosine")
     x = np.zeros((8, 16, 16, 1), np.float32)
     y = np.zeros((8, 16, 16, 1), np.float32)
     tr = Trainer(UNet(widths=(4,), bridge=8), cfg)
@@ -69,7 +69,7 @@ def test_classifier_with_class_weights_and_auc():
     n, hw = 24, 32
     y = (rng.random(n) > 0.3).astype(np.float32)
     x = (y[:, None, None, None] * 0.6 + 0.3 * rng.random((n, hw, hw, 1))).astype(np.float32)
-    cfg = TrainConfig(batch_size=8, epochs=6, loss="bce", cosine_annealing=False,
+    cfg = TrainConfig(batch_size=8, epochs=6, loss="bce", schedule="constant",
                       learning_rate=1e-3, use_class_weight=True,
                       monitor=("val_loss", "val_auc"))  # classifier monitors (task2)
     tr = Trainer(ClassifierCNN(widths=(4, 8), dense=8), cfg, seg_metrics=False)
@@ -88,7 +88,7 @@ def test_training_with_on_device_augmentation(tiny_seg_data):
     (the usable version of the reference's dead augmentation, Q7)."""
     from onestop_tpu.config import AugmentConfig
     x, y = tiny_seg_data
-    cfg = TrainConfig(batch_size=8, epochs=3, cosine_annealing=False, learning_rate=1e-3)
+    cfg = TrainConfig(batch_size=8, epochs=3, schedule="constant", learning_rate=1e-3)
     tr = Trainer(small_unet(), cfg, augment_cfg=AugmentConfig())
     state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
     state, hist, _ = tr.fit(state, x, y, x, y)
@@ -98,7 +98,7 @@ def test_training_with_on_device_augmentation(tiny_seg_data):
 
 def test_checkpoint_roundtrip(tmp_path, tiny_seg_data):
     x, y = tiny_seg_data
-    cfg = TrainConfig(batch_size=8, epochs=1, cosine_annealing=False)
+    cfg = TrainConfig(batch_size=8, epochs=1, schedule="constant")
     tr = Trainer(small_unet(), cfg)
     state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
     state, _, _ = tr.fit(state, x, y)
