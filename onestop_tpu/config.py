@@ -40,6 +40,10 @@ class AugmentConfig:
     translate: Tuple[float, float] = (-0.2, 0.2)  # fraction, per-axis
     rotate_deg: Tuple[float, float] = (-40.0, 40.0)   # task2 uses (-45, 45)
     shear_deg: Tuple[float, float] = (-16.0, 16.0)
+    # iaa.Sequential(random_order=True) — op order [Fliplr, Flipud, Affine]
+    # permuted uniformly (per sample here; imgaug permutes per batch — same
+    # per-sample law, see ops/augment.py)
+    random_order: bool = True
     n_samples: int = 200               # 200 task1 / 100 task2 / 50 task3
 
 

@@ -1,16 +1,38 @@
 """On-device augmentation with ``jax.random`` — the TPU replacement for the
 reference's imgaug pipeline (``holdout.py:547-584``):
 
-    Fliplr(0.5), Flipud(0.2), Sometimes(0.5, Affine(scale 0.8–1.2 per axis,
-    translate ±20% per axis, rotate ±40°, shear ±16°)), random_order=True
+    iaa.Sequential([Fliplr(0.5), Flipud(0.2),
+                    Sometimes(0.5, Affine(scale 0.8–1.2 per axis,
+                    translate ±20% per axis, rotate ±40°, shear ±16°))],
+                   random_order=True)
 
-applied jointly to (image, segmentation-map) pairs. Here the affine is an
-inverse-warp gather about the image center: bilinear for images, nearest for
-segmentation maps (imgaug's order-0 default for segmaps). Divergences from
-imgaug (documented, and immaterial — the reference never merges augmented
-samples into training, SURVEY.md §8 Q7): ops apply in fixed order
-flip→affine rather than random order, and the affine composition is
-scale·shear·rotate about the center.
+applied jointly to (image, segmentation-map) pairs. imgaug parity details:
+
+- **Affine composition**: imgaug's Affine is skimage's ``AffineTransform``
+  applied about the image center (shift ``(w/2-0.5, h/2-0.5)``), whose
+  forward matrix is::
+
+      [[sx·cos(r), -sy·sin(r+shear), tx],
+       [sx·sin(r),  sy·cos(r+shear), ty],
+       [0, 0, 1]]
+
+  with r=rotation, shear = x-shear (imgaug's scalar shear), tx/ty the
+  translate fractions × width/height. That exact parametrization is built
+  here (``_affine_inverse``), with the inverse in closed form.
+- **Random op order** (``AugmentConfig.random_order``, default True like the
+  reference's ``random_order=True``): the application order of
+  [Fliplr, Flipud, Affine] is a uniform random permutation. imgaug draws one
+  permutation per *batch*; we draw per *sample* — each sample's marginal
+  transform distribution is identical, only cross-sample correlation within
+  a batch differs (finer-grained diversity, same law).
+- **Single-warp execution**: flips are exact affine maps, and bilinear/
+  nearest resampling of a flipped image equals resampling the original at
+  flipped coordinates, so op-by-op application equals ONE inverse warp by
+  the ordered product of the per-op inverse matrices. Ops that don't trigger
+  contribute an exact identity, so a flip-only draw stays bit-exact (integer
+  coordinates ⇒ the bilinear weights are exactly {0,1}).
+- Out-of-frame pixels are 0 (imgaug ``mode='constant', cval=0`` defaults);
+  segmentation maps resample nearest (imgaug's order-0 segmap default).
 """
 
 from __future__ import annotations
@@ -20,9 +42,13 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
+_I3 = jnp.eye(3, dtype=jnp.float32)
 
-def _affine_matrix(key: jax.Array, h: int, w: int, cfg) -> Array:
-    """Sample an inverse 3x3 affine (output->input coords) about the center."""
+
+def _affine_inverse(key: jax.Array, h: int, w: int, cfg) -> Array:
+    """Sample imgaug/skimage Affine parameters and return the closed-form
+    INVERSE 3x3 matrix (output->input coords) of the centered transform
+    T(c) @ A @ T(-c). No ``linalg.inv`` — an identity draw must stay exact."""
     ks = jax.random.split(key, 6)
     sx = jax.random.uniform(ks[0], (), minval=cfg.scale[0], maxval=cfg.scale[1])
     sy = jax.random.uniform(ks[1], (), minval=cfg.scale[0], maxval=cfg.scale[1])
@@ -31,16 +57,51 @@ def _affine_matrix(key: jax.Array, h: int, w: int, cfg) -> Array:
     rot = jnp.deg2rad(jax.random.uniform(ks[4], (), minval=cfg.rotate_deg[0], maxval=cfg.rotate_deg[1]))
     shear = jnp.deg2rad(jax.random.uniform(ks[5], (), minval=cfg.shear_deg[0], maxval=cfg.shear_deg[1]))
 
-    c, s = jnp.cos(rot), jnp.sin(rot)
-    rotm = jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
-    shm = jnp.array([[1.0, -jnp.sin(shear), 0.0], [0.0, jnp.cos(shear), 0.0], [0.0, 0.0, 1.0]])
-    scm = jnp.diag(jnp.stack([sx, sy, jnp.float32(1.0)]))
+    # skimage AffineTransform linear part L and translation t
+    a = sx * jnp.cos(rot)
+    b = -sy * jnp.sin(rot + shear)
+    c = sx * jnp.sin(rot)
+    d = sy * jnp.cos(rot + shear)
+    det = a * d - b * c
+    # L^-1 and t' = -L^-1 @ t  (closed form)
+    ia, ib, ic, id_ = d / det, -b / det, -c / det, a / det
+    itx = -(ia * tx + ib * ty)
+    ity = -(ic * tx + id_ * ty)
+    a_inv = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    a_inv = a_inv.at[0, 0].set(ia).at[0, 1].set(ib).at[0, 2].set(itx)
+    a_inv = a_inv.at[1, 0].set(ic).at[1, 1].set(id_).at[1, 2].set(ity)
+
+    # centered: (T(c) A T(-c))^-1 = T(c) A^-1 T(-c), imgaug center w/2-0.5
     cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
     to_c = jnp.array([[1.0, 0.0, -cx], [0.0, 1.0, -cy], [0.0, 0.0, 1.0]])
     from_c = jnp.array([[1.0, 0.0, cx], [0.0, 1.0, cy], [0.0, 0.0, 1.0]])
-    tr = jnp.array([[1.0, 0.0, 1.0], [0.0, 1.0, 1.0], [0.0, 0.0, 1.0]]).at[0, 2].set(tx).at[1, 2].set(ty)
-    fwd = tr @ from_c @ rotm @ shm @ scm @ to_c
-    return jnp.linalg.inv(fwd)
+    return from_c @ a_inv @ to_c
+
+
+def _op_inverses(key: jax.Array, h: int, w: int, cfg) -> Array:
+    """(3, 3, 3) stacked inverse matrices for [Fliplr, Flipud, Affine], each
+    gated by its trigger probability (identity when not triggered). Flips are
+    self-inverse and exactly representable."""
+    k_lr, k_ud, k_aff_p, k_aff = jax.random.split(key, 4)
+    flip_lr = jnp.array([[-1.0, 0.0, w - 1.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    flip_ud = jnp.array([[1.0, 0.0, 0.0], [0.0, -1.0, h - 1.0], [0.0, 0.0, 1.0]])
+    m_lr = jnp.where(jax.random.uniform(k_lr) < cfg.p_fliplr, flip_lr, _I3)
+    m_ud = jnp.where(jax.random.uniform(k_ud) < cfg.p_flipud, flip_ud, _I3)
+    m_aff = jnp.where(jax.random.uniform(k_aff_p) < cfg.p_affine,
+                      _affine_inverse(k_aff, h, w, cfg), _I3)
+    return jnp.stack([m_lr, m_ud, m_aff])
+
+
+def _pipeline_inverse(key: jax.Array, h: int, w: int, cfg) -> Array:
+    """One inverse matrix for the whole [Fliplr, Flipud, Affine] pipeline in
+    (randomly permuted, if cfg.random_order) application order: ops applied
+    o1∘o2∘o3 invert as M1⁻¹ @ M2⁻¹ @ M3⁻¹."""
+    k_ops, k_order = jax.random.split(key)
+    invs = _op_inverses(k_ops, h, w, cfg)
+    if getattr(cfg, "random_order", True):
+        order = jax.random.permutation(k_order, 3)
+        invs = invs[order]
+    return invs[0] @ invs[1] @ invs[2]
 
 
 def _warp(img: Array, inv: Array, order: int) -> Array:
@@ -81,22 +142,8 @@ def _warp(img: Array, inv: Array, order: int) -> Array:
 def random_augment_pair(key: jax.Array, image: Array, segmap: Array, cfg) -> tuple[Array, Array]:
     """Jointly augment one (H, W) image + segmentation map. Returns float32."""
     h, w = image.shape
-    k_lr, k_ud, k_aff_p, k_aff = jax.random.split(key, 4)
-    img = image.astype(jnp.float32)
-    seg = segmap.astype(jnp.float32)
-
-    do_lr = jax.random.uniform(k_lr) < cfg.p_fliplr
-    img = jnp.where(do_lr, img[:, ::-1], img)
-    seg = jnp.where(do_lr, seg[:, ::-1], seg)
-    do_ud = jax.random.uniform(k_ud) < cfg.p_flipud
-    img = jnp.where(do_ud, img[::-1, :], img)
-    seg = jnp.where(do_ud, seg[::-1, :], seg)
-
-    inv = _affine_matrix(k_aff, h, w, cfg)
-    do_aff = jax.random.uniform(k_aff_p) < cfg.p_affine
-    img = jnp.where(do_aff, _warp(img, inv, order=1), img)
-    seg = jnp.where(do_aff, _warp(seg, inv, order=0), seg)
-    return img, seg
+    inv = _pipeline_inverse(key, h, w, cfg)
+    return _warp(image, inv, order=1), _warp(segmap, inv, order=0)
 
 
 def augment_batch(key: jax.Array, images: Array, segmaps: Array, cfg) -> tuple[Array, Array]:
@@ -114,15 +161,7 @@ def random_augment_image(key: jax.Array, image: Array, cfg) -> Array:
     along unchanged outside this function, so alignment is preserved by
     construction."""
     h, w = image.shape
-    k_lr, k_ud, k_aff_p, k_aff = jax.random.split(key, 4)
-    img = image.astype(jnp.float32)
-    do_lr = jax.random.uniform(k_lr) < cfg.p_fliplr
-    img = jnp.where(do_lr, img[:, ::-1], img)
-    do_ud = jax.random.uniform(k_ud) < cfg.p_flipud
-    img = jnp.where(do_ud, img[::-1, :], img)
-    inv = _affine_matrix(k_aff, h, w, cfg)
-    do_aff = jax.random.uniform(k_aff_p) < cfg.p_affine
-    return jnp.where(do_aff, _warp(img, inv, order=1), img)
+    return _warp(image, _pipeline_inverse(key, h, w, cfg), order=1)
 
 
 def augment_image_batch(key: jax.Array, images: Array, cfg) -> Array:
