@@ -214,6 +214,86 @@ def plot_confusion_matrix(confusion, threshold=0.5, path=None):
     return fig
 
 
+def plot_sweep_curves(report: dict, path=None):
+    """Threshold-sweep curves from a ``metrics.segmentation.sweep_report``
+    dict: coarse+fine dice/IoU vs threshold with the best threshold marked,
+    plus the precision/recall grid — the reference's sweep printouts
+    (holdout.py:1196-1343) as the plots it never drew."""
+    plt = _plt()
+    fig, axes = plt.subplots(1, 2, figsize=(12, 4.2))
+    for key, style in (("coarse", "o--"), ("fine", "-")):
+        res = report[key]
+        axes[0].plot(res["thresholds"], res["dice"], style, label=f"dice ({key})")
+        axes[0].plot(res["thresholds"], res["iou"], style, label=f"IoU ({key})",
+                     alpha=0.7)
+    axes[0].axvline(report["best_threshold"], color="red", linestyle=":",
+                    label=f"best t={report['best_threshold']:.3f}")
+    axes[0].set_xlabel("threshold")
+    axes[0].set_title(f"dice/IoU sweep (best dice {report['best_dice']:.4f})")
+    axes[0].legend(fontsize=8)
+    axes[0].grid(True)
+    pr = report["pr"]
+    axes[1].plot(pr["thresholds"], pr["precision"], label="precision")
+    axes[1].plot(pr["thresholds"], pr["recall"], label="recall")
+    axes[1].set_xlabel("threshold")
+    axes[1].set_title("precision / recall sweep")
+    axes[1].legend()
+    axes[1].grid(True)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_cv_sweep_tables(thresholds, tables: dict, path=None):
+    """Per-fold threshold×metric curves — the reference's CV DataFrame
+    reports (task1_crossval_3folds:1160-1304) drawn as curves. ``tables``
+    maps metric name -> (n_thresholds, n_folds) array."""
+    plt = _plt()
+    names = list(tables)
+    fig, axes = plt.subplots(1, len(names), figsize=(4.2 * len(names), 3.6))
+    ths = np.asarray(thresholds)
+    for ax, name in zip(np.atleast_1d(axes), names):
+        tab = np.asarray(tables[name])
+        for f in range(tab.shape[1]):
+            ax.plot(ths, tab[:, f], label=f"fold {f + 1}")
+        ax.set_xlabel("threshold")
+        ax.set_title(name)
+        ax.legend(fontsize=8)
+        ax.grid(True)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def plot_cv_training_curves(history, path=None):
+    """Per-fold training curves. ``history`` is either the fold-parallel dict
+    of (epochs, n_folds) arrays (parallel CV) or a list of per-fold History
+    dicts (sequential CV)."""
+    plt = _plt()
+    if isinstance(history, dict):
+        loss = np.asarray(history["loss"])
+        val = np.asarray(history.get("val_dice", history.get("val_metric")))
+        folds = [(loss[:, f], val[:, f]) for f in range(loss.shape[1])]
+    else:
+        folds = [(np.asarray(h["loss"]), np.asarray(h["val_metric"]))
+                 for h in history]
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    for f, (l, v) in enumerate(folds):
+        axes[0].plot(l, label=f"fold {f + 1}")
+        axes[1].plot(v, label=f"fold {f + 1}")
+    axes[0].set_title("train loss")
+    axes[1].set_title("val dice")
+    for ax in axes:
+        ax.legend(fontsize=8)
+        ax.grid(True)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_lr_schedule(lrs, title="Learning rate", path=None):
     """LR schedule plots (ref holdout.py:941-1035)."""
     plt = _plt()

@@ -177,6 +177,48 @@ def _save_json(path: Path, obj):
 
 
 # ---------------------------------------------------------------------------
+# figures (the reference's L9 layer is part of every run: plots at every
+# stage — holdout.py:719-756, 1108-1163; CV galleries task1_crossval_3folds:
+# 1322-1363; task2 report plots task2:919-989)
+# ---------------------------------------------------------------------------
+
+def _holdout_figures(out_dir: Path, name: str, history, report, val, threshold):
+    """Training curves + LR schedule + sweep curves + actual-vs-predicted
+    panels + a CT/mask overlay for one holdout segmentation run."""
+    from onestop_tpu.analysis import viz
+
+    x_val, y_val, probs = val
+    viz.plot_training_curves(history, path=out_dir / f"{name}_training_curves.png")
+    viz.plot_lr_schedule(history["lr"], path=out_dir / f"{name}_lr_schedule.png")
+    viz.plot_sweep_curves(report, path=out_dir / f"{name}_sweep.png")
+    # show the busiest mask plus the first slice (the reference eyeballs a
+    # handful of val slices; the largest-GT one is the informative pick)
+    areas = np.asarray(y_val).reshape(len(y_val), -1).sum(axis=1)
+    for tag, i in {"0": 0, "max": int(np.argmax(areas))}.items():
+        viz.compare_actual_and_predicted(
+            x_val[i], y_val[i], probs[i], threshold=threshold,
+            path=out_dir / f"{name}_actual_vs_predicted_{tag}.png")
+    viz.plot_sample(x_val[0], y_val[0], path=out_dir / f"{name}_sample_overlay.png")
+
+
+def _preproc_demo_figures(out_dir: Path, data_dir, pre_cfg, kw):
+    """CLAHE before/after + cropper demo panels from one raw ingested slice
+    (ref clahe_enhancer/cropper demo=1 branches, holdout.py:171-194,249-273).
+    Needs raw slices, so it re-ingests a single case — skipped when the
+    runner was handed prebuilt arrays."""
+    from onestop_tpu.analysis import viz
+
+    triple = next(iter(_case_slice_triples(data_dir, pre_cfg, **kw)), None)
+    if triple is None:
+        return
+    ct, lung = triple[0], triple[1]
+    mid = len(ct) // 2
+    viz.plot_clahe_demo(ct[mid], path=out_dir / "clahe_demo.png")
+    viz.plot_cropper_demo((lung[mid] > 0).astype(np.float64),
+                          path=out_dir / "cropper_demo.png")
+
+
+# ---------------------------------------------------------------------------
 # shared segmentation engine
 # ---------------------------------------------------------------------------
 
@@ -209,7 +251,7 @@ def _model_input_shape(task_cfg: C.TaskConfig, x) -> tuple:
 
 def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
                               name: str, verbose=False, use_augmentation=False,
-                              mesh=None):
+                              mesh=None, save_figures=True):
     """use_augmentation: False (reference's published runs — aug computed but
     never trained on, SURVEY.md §8 Q7), 'batch'/True (on-device joint aug of
     every training batch), or 'concat' (materialize augment.n_samples
@@ -273,12 +315,15 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
         "n_train": len(x_train), "n_val": len(x_val),
     }
     _save_json(out_dir / f"{name}_report.json", {**results, "history": history})
+    if save_figures:
+        _holdout_figures(out_dir, name, history, report, (x_val, y_val, probs),
+                         report["best_threshold"])
     return {**results, "history": history, "state": state, "trainer": trainer,
             "sweep": report, "val": (x_val, y_val, probs)}
 
 
 def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
-                         verbose=False, cv_mode: str = "auto"):
+                         verbose=False, cv_mode: str = "auto", save_figures=True):
     """cv_mode:
     - 'auto': fold-parallel when a multi-device mesh is available, else
       sequential with fresh per-fold init (on one chip fold-vmapping only
@@ -326,12 +371,20 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
     tables = {k: np.zeros((len(ths), len(folds))) for k in
               ("dice", "iou", "precision", "recall")}
     fold_summaries = []
+    # a common gallery slice every fold model predicts (the reference's
+    # 5/6-panel cross-fold compare, task1_crossval_3folds:1322-1363): the
+    # busiest-mask slice of fold 1's validation split
+    gal_i = folds[0][1][int(np.argmax(
+        np.asarray(y)[folds[0][1]].reshape(len(folds[0][1]), -1).sum(axis=1)))]
+    gallery_preds = []
     for f, (tr_idx, te_idx) in enumerate(folds):
         params = best[f]["params"] if best[f]["params"] is not None else \
             jax.tree_util.tree_map(lambda a: np.asarray(a[f]), jax.device_get(states.params))
         bstats = best[f]["batch_stats"] if best[f]["batch_stats"] is not None else \
             jax.tree_util.tree_map(lambda a: np.asarray(a[f]), jax.device_get(states.batch_stats))
         probs = tr.predict_fold(params, bstats, x[te_idx])
+        gallery_preds.append(np.asarray(
+            tr.predict_fold(params, bstats, x[gal_i:gal_i + 1])[0]))
         res = threshold_sweep(y[te_idx], probs, ths,
                               batch_size=sw.eval_batch_size if sw.batchwise else None)
         for k in tables:
@@ -369,6 +422,15 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
             df.to_csv(out_dir / f"{name}_{k}_by_fold.csv")
     except ImportError:
         pass
+    if save_figures:
+        from onestop_tpu.analysis import viz
+
+        viz.plot_cv_training_curves(hist, path=out_dir / f"{name}_training_curves.png")
+        viz.plot_cv_sweep_tables(ths, tables, path=out_dir / f"{name}_sweep_by_fold.png")
+        viz.compare_fold_predictions(
+            x[gal_i], y[gal_i], gallery_preds,
+            threshold=float(np.median(summary["best_thresholds_dice"])),
+            path=out_dir / f"{name}_fold_compare.png")
     return {**results, "history": hist, "states": states, "trainer": tr,
             "fold_best": best, "data_folds": folds}
 
@@ -390,7 +452,8 @@ def _seg_data(data, data_dir, task_cfg, cache_dir, task_name, kw):
 
 def holdout_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    cluster_analysis=True, use_augmentation=False, cache_dir=None, mesh=None, **kw
+    cluster_analysis=True, use_augmentation=False, cache_dir=None, mesh=None,
+    save_figures=True, **kw
 ):
     """Task1 holdout U-Net (ref task1_preprocessing_plus_unet_with_comments.py:6),
     including the latent PCA+KMeans clustering study on the last decoder
@@ -402,7 +465,10 @@ def holdout_runner_unet_infection_segmentation(
     model = _build_unet(task_cfg)
     res = _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
                                     "unet_covid_holdout", verbose=verbose,
-                                    use_augmentation=use_augmentation, mesh=mesh)
+                                    use_augmentation=use_augmentation, mesh=mesh,
+                                    save_figures=save_figures)
+    if save_figures and data is None:
+        _preproc_demo_figures(_out(out_dir), data_dir, task_cfg.preprocess, kw)
     if cluster_analysis:
         from onestop_tpu.analysis.clustering import latent_cluster_analysis
         x_val, y_val, _ = res["val"]
@@ -424,7 +490,7 @@ def holdout_runner_unet_infection_segmentation(
 
 def three_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="auto", cache_dir=None, **kw
+    verbose=False, cv_mode="auto", cache_dir=None, save_figures=True, **kw
 ):
     """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
     in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
@@ -438,12 +504,13 @@ def three_fold_runner_unet_infection_segmentation(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(3, 2, 2)))
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
-                                mesh=mesh, verbose=verbose, cv_mode=cv_mode)
+                                mesh=mesh, verbose=verbose, cv_mode=cv_mode,
+                                save_figures=save_figures)
 
 
 def four_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="auto", cache_dir=None, **kw
+    verbose=False, cv_mode="auto", cache_dir=None, save_figures=True, **kw
 ):
     """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
     task_cfg = C.task1_4fold()
@@ -453,12 +520,13 @@ def four_fold_runner_unet_infection_segmentation(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(2, 2, 2, 2)))
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",
-                                mesh=mesh, verbose=verbose, cv_mode=cv_mode)
+                                mesh=mesh, verbose=verbose, cv_mode=cv_mode,
+                                save_figures=save_figures)
 
 
 def holdout_runner_unetplusplus_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    use_augmentation=False, cache_dir=None, mesh=None, **kw
+    use_augmentation=False, cache_dir=None, mesh=None, save_figures=True, **kw
 ):
     """Task1 U-Net++ holdout (ref task1_unet_plus_plus.py:6)."""
     task_cfg = C.task1_unetpp()
@@ -474,12 +542,13 @@ def holdout_runner_unetplusplus_infection_segmentation(
                    s2d_stem=True)
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
                                      "unetpp_covid_holdout", verbose=verbose,
-                                     use_augmentation=use_augmentation, mesh=mesh)
+                                     use_augmentation=use_augmentation, mesh=mesh,
+                                     save_figures=save_figures)
 
 
 def runner_classification(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    use_augmentation=False, cache_dir=None, mesh=None, **kw
+    use_augmentation=False, cache_dir=None, mesh=None, save_figures=True, **kw
 ):
     """Task2 COVID-19 slice classification (ref task2_covid19_classifcation.py:6):
     stratified 70/30 split, balanced class weights, AUC tracking (RocCallback
@@ -562,13 +631,26 @@ def runner_classification(
         "class_balance": [int((y == 0).sum()), int((y == 1).sum())],
     }
     _save_json(out_path / "classification_report.json", results)
+    if save_figures:
+        from onestop_tpu.analysis import viz
+
+        viz.plot_training_curves(history, metric_name="f1",
+                                 path=out_path / "classifier_training_curves.png")
+        viz.plot_roc(fpr, tpr, report["auc"], path=out_path / "classifier_roc.png")
+        for t in (0.50, 0.81):
+            viz.plot_confusion_matrix(
+                report["at_threshold"][t]["confusion"], threshold=t,
+                path=out_path / f"classifier_confusion_{t:.2f}.png")
+        viz.plot_probability_distribution(
+            y_val.ravel(), probs, threshold=report["best_threshold"],
+            path=out_path / "classifier_prob_dist.png")
     return {**results, "history": history, "state": state, "trainer": trainer,
             "roc": (fpr, tpr), "val": (x_val, y_val, probs)}
 
 
 def runner_lung_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    use_augmentation=False, cache_dir=None, mesh=None, **kw
+    use_augmentation=False, cache_dir=None, mesh=None, save_figures=True, **kw
 ):
     """Task3 lung segmentation U-Net (ref task3_lung_segmentation_unet.py:6) —
     the minimum end-to-end slice M1 (SURVEY.md §7)."""
@@ -588,12 +670,13 @@ def runner_lung_segmentation(
     model = _build_unet(task_cfg)
     return _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
                                      "unet_lung_segmentation", verbose=verbose,
-                                     use_augmentation=use_augmentation, mesh=mesh)
+                                     use_augmentation=use_augmentation, mesh=mesh,
+                                     save_figures=save_figures)
 
 
 def runner_production_chain(
     data_dir=None, out_dir=None, small_run=False, verbose=False,
-    cache_dir=None, mesh=None, threshold=0.5, **kw
+    cache_dir=None, mesh=None, threshold=0.5, save_figures=True, **kw
 ):
     """CLI menu 'seven' — the chained no-ground-truth pipeline the
     reference's menu advertises but never implements (ref ``app.py:29``
@@ -635,7 +718,7 @@ def runner_production_chain(
     lung_model = _build_unet(task3)
     lung_res = _run_holdout_segmentation(
         lung_model, task3, xl, yl, out_dir, "unet_lung_fullframe",
-        verbose=verbose, mesh=mesh)
+        verbose=verbose, mesh=mesh, save_figures=save_figures)
 
     # stage-3 model: the standard task1 infection U-Net
     xi, yi = _maybe_cached(
@@ -646,7 +729,7 @@ def runner_production_chain(
     seg_model = _build_unet(task1)
     seg_res = _run_holdout_segmentation(
         seg_model, task1, xi, yi, out_dir, "unet_infection_for_chain",
-        verbose=verbose, mesh=mesh)
+        verbose=verbose, mesh=mesh, save_figures=save_figures)
 
     def _vars(res):
         st = res["state"]
@@ -689,6 +772,20 @@ def runner_production_chain(
         "threshold": threshold,
     }
     _save_json(out_path / "production_chain_report.json", results)
+    if save_figures:
+        from onestop_tpu.analysis import viz
+        from onestop_tpu.ops.resize import resize2d
+
+        # the chain gallery needs the stage-1 lung mask, which chained_infer
+        # consumes internally — recompute it for the one displayed slice
+        x_l = (resize2d(raw_u8[:1].astype(jnp.float32), (d, d), "area") / 255.0)[..., None]
+        lung_mask0 = np.asarray(
+            lung_model.apply(_vars(lung_res), x_l, train=False)[0, ..., 0] > 0.5)
+        viz.plot_production_chain(
+            np.asarray(raw_u8[0]), lung_mask0,
+            np.asarray(b1p[0]), np.asarray(b2p[0]),
+            np.asarray(masks_chain[0, ..., 0]),
+            path=out_path / "production_chain_gallery.png")
     return {**results, "lung": lung_res, "infection": seg_res}
 
 

@@ -14,6 +14,15 @@ def test_holdout_unet(tmp_path):
     assert 0 <= res["val_dice"] <= 1
     assert 0.1 <= res["best_threshold"] < 0.8
     assert (tmp_path / "unet_covid_holdout_report.json").exists()
+    # the reference emits figures at every stage (L9); runners must too
+    for fig in ("unet_covid_holdout_training_curves.png",
+                "unet_covid_holdout_lr_schedule.png",
+                "unet_covid_holdout_sweep.png",
+                "unet_covid_holdout_actual_vs_predicted_0.png",
+                "unet_covid_holdout_actual_vs_predicted_max.png",
+                "unet_covid_holdout_sample_overlay.png",
+                "clahe_demo.png", "cropper_demo.png"):
+        assert (tmp_path / fig).exists(), fig
 
 
 def test_three_fold(tmp_path):
@@ -22,6 +31,10 @@ def test_three_fold(tmp_path):
     assert len(res["per_fold_max_dice"]) == 3
     assert 0 <= res["mean_fold_dice"] <= 1
     assert len(res["folds"]) == 3
+    for fig in ("unet_covid_3fold_training_curves.png",
+                "unet_covid_3fold_sweep_by_fold.png",
+                "unet_covid_3fold_fold_compare.png"):
+        assert (tmp_path / fig).exists(), fig
 
 
 def test_four_fold(tmp_path):
@@ -49,12 +62,21 @@ def test_classification(tmp_path):
     assert 0.5 in res["report"] and 0.81 in res["report"]
     for k in ("accuracy", "precision", "recall", "f1", "confusion"):
         assert k in res["report"][0.5]
+    for fig in ("classifier_training_curves.png", "classifier_roc.png",
+                "classifier_confusion_0.50.png", "classifier_confusion_0.81.png",
+                "classifier_prob_dist.png"):
+        assert (tmp_path / fig).exists(), fig
 
 
 def test_lung_segmentation(tmp_path):
     res = R.runner_lung_segmentation(out_dir=tmp_path, **_KW)
     assert 0 <= res["val_dice"] <= 1
     assert res["checkpoint"].endswith(".msgpack")
+    assert (tmp_path / "unet_lung_segmentation_training_curves.png").exists()
+    # figures are optional per run
+    res2 = R.runner_lung_segmentation(out_dir=tmp_path / "nofig",
+                                      save_figures=False, **_KW)
+    assert not list((tmp_path / "nofig").glob("*.png"))
 
 
 def test_runner_from_data_dir(tmp_path):
@@ -98,3 +120,4 @@ def test_production_chain_runner(tmp_path):
     assert 0 <= res["dice_gt_boxes"] <= 1
     assert res["n_eval_slices"] > 0
     assert (tmp_path / "production_chain_report.json").exists()
+    assert (tmp_path / "production_chain_gallery.png").exists()
