@@ -41,11 +41,19 @@ class FoldParallelTrainer:
     """vmapped-over-folds version of ``train.Trainer``."""
 
     def __init__(self, model, cfg: TrainConfig, n_folds: int, loss: str | Callable | None = None,
-                 mesh=None, remat: bool = True):
+                 mesh=None, remat: bool = True, shard_data: bool = False):
+        """shard_data (mesh only): store each fold's train set stacked and
+        sharded over ('fold', 'data') instead of replicating the full dataset
+        to every device (VERDICT r2 weak #5) — per-device train memory =
+        max_fold_train/dp_size, val memory = that fold's val set; per-epoch
+        permutations are drawn on device within each shard (hierarchical
+        shuffle, same law as Trainer(shard_data=True)). Off by default: the
+        replicated path keeps the reference's global-shuffle law."""
         self.model = model
         self.cfg = cfg
         self.n_folds = n_folds
         self.mesh = mesh
+        self.shard_data = shard_data and mesh is not None
         self.remat = remat  # rematerialize fold forward passes: n_folds
         # models' activations live simultaneously per device group, so trade
         # FLOPs for HBM (jax.checkpoint) by default
@@ -53,8 +61,15 @@ class FoldParallelTrainer:
         # per-step batch over 'data' and pmean/psum keep replicas exact
         # (SURVEY.md §2.4: "pmean for DP gradient reduction inside a fold")
         self.dp_size = 1
+        self.fold_size = 1
         if mesh is not None:
-            self.dp_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+            axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            self.dp_size = axes.get("data", 1)
+            self.fold_size = axes.get("fold", 1)
+        if self.shard_data and n_folds % self.fold_size:
+            raise ValueError(
+                f"n_folds={n_folds} must divide over the 'fold' mesh axis "
+                f"(size {self.fold_size}) for sharded fold data")
         if self.dp_size > 1:
             if cfg.batch_size % self.dp_size:
                 raise ValueError(
@@ -213,6 +228,67 @@ class FoldParallelTrainer:
                 check_vma=False,
             )
 
+        self._epoch_sharded_fn = None
+        self._eval_sharded_fn = None
+        if self.shard_data:
+            # stacked-and-sharded fold data: x_tr (F, T, ...) over
+            # ('fold', 'data'); each device holds its fold group's shard and
+            # draws the within-shard permutation on device. Local per-step
+            # shapes match the replicated path exactly, so fold_epoch/
+            # fold_eval are reused untouched.
+            bsl = self.cfg.batch_size // self.dp_size
+            fold = P("fold")
+            fdata = P("fold", "data")
+            grid = P("fold", None, "data")
+            repl = P()
+
+            def epoch_core_sharded(states, x_tr, y_tr, w_tr, ekey, lr, active):
+                f_local, t_local = x_tr.shape[0], x_tr.shape[1]
+                steps = t_local // bsl
+                f0 = jax.lax.axis_index("fold") * f_local
+                dix = jax.lax.axis_index(dp) if dp is not None else 0
+
+                def one_fold(fold_i, p, bs_, opt, xf, yf, wf, act):
+                    fg = f0 + fold_i
+                    pkey = jax.random.fold_in(
+                        jax.random.fold_in(jax.random.fold_in(ekey, 2000), fg), dix)
+                    perm = jax.random.permutation(pkey, t_local)
+                    idx = perm.reshape(steps, bsl)
+                    keys = jax.random.split(
+                        jax.random.fold_in(ekey, 1000 + fg), steps)
+                    return fold_epoch(p, bs_, opt, xf, yf, idx, wf[idx], keys, lr, act)
+
+                params, batch_stats, opt_state, loss, dice = jax.vmap(
+                    one_fold, in_axes=(0, 0, 0, 0, 0, 0, 0, 0)
+                )(jnp.arange(f_local), states.params, states.batch_stats,
+                  states.opt_state, x_tr, y_tr, w_tr, active)
+                return (
+                    TrainState(params=params, batch_stats=batch_stats,
+                               opt_state=opt_state,
+                               step=states.step + t_local // bsl),
+                    loss, dice,
+                )
+
+            epoch_core_sharded = jax.shard_map(
+                epoch_core_sharded, mesh=self.mesh,
+                in_specs=(fold, fdata, fdata, fdata, repl, repl, fold),
+                out_specs=(fold, fold, fold),
+                check_vma=False,
+            )
+            self._epoch_sharded_fn = jax.jit(epoch_core_sharded, donate_argnums=(0,))
+
+            def eval_core_sharded(states, x_va, y_va, idx, w):
+                return jax.vmap(fold_eval, in_axes=(0, 0, 0, 0, 0, 0))(
+                    states.params, states.batch_stats, x_va, y_va, idx, w)
+
+            eval_core_sharded = jax.shard_map(
+                eval_core_sharded, mesh=self.mesh,
+                in_specs=(fold, fold, fold, grid, grid),
+                out_specs=(fold, fold),
+                check_vma=False,
+            )
+            self._eval_sharded_fn = jax.jit(eval_core_sharded)
+
         self._epoch_fn = jax.jit(epoch_core, donate_argnums=(0,))
         self._eval_fn = jax.jit(eval_core)
 
@@ -236,6 +312,43 @@ class FoldParallelTrainer:
                                    np.zeros(pad, np.float32)]).reshape(steps, batch_size)
         return jnp.asarray(idx), jnp.asarray(w)
 
+    def _stack_fold_data(self, x, y, folds):
+        """Per-fold train/val arrays stacked on a leading fold axis and
+        device_put sharded: train over ('fold', 'data'), val over 'fold' —
+        no device ever holds the full dataset. Val index grids are LOCAL row
+        positions, so eval batch composition matches the replicated path."""
+        from jax.sharding import NamedSharding
+
+        B = self.cfg.batch_size
+        x_np, y_np = np.asarray(x), np.asarray(y)
+        tr_lists = [np.asarray(t) for t, _ in folds]
+        va_lists = [np.asarray(v) for _, v in folds]
+        F = len(folds)
+        steps, _ = _pad_batches(max(len(t) for t in tr_lists), B)
+        T = steps * B
+        x_tr = np.zeros((F, T) + x_np.shape[1:], x_np.dtype)
+        y_tr = np.zeros((F, T) + y_np.shape[1:], y_np.dtype)
+        w_tr = np.zeros((F, T), np.float32)
+        for f, t in enumerate(tr_lists):
+            x_tr[f, :len(t)] = x_np[t]
+            y_tr[f, :len(t)] = y_np[t]
+            w_tr[f, :len(t)] = 1.0
+        v_max = max(len(v) for v in va_lists)
+        x_va = np.zeros((F, v_max) + x_np.shape[1:], x_np.dtype)
+        y_va = np.zeros((F, v_max) + y_np.shape[1:], y_np.dtype)
+        for f, v in enumerate(va_lists):
+            x_va[f, :len(v)] = x_np[v]
+            y_va[f, :len(v)] = y_np[v]
+        val_idx, val_w = self._rectangular_grids(
+            [np.arange(len(v)) for v in va_lists], B)
+
+        def put(a, spec):
+            return jax.device_put(a, NamedSharding(self.mesh, spec))
+
+        return (put(x_tr, P("fold", "data")), put(y_tr, P("fold", "data")),
+                put(w_tr, P("fold", "data")), put(x_va, P("fold")),
+                put(y_va, P("fold")), val_idx, val_w)
+
     def fit(self, states: TrainState, x, y, folds, epochs_per_fold=None, verbose=False):
         """Train all folds in parallel.
 
@@ -250,9 +363,13 @@ class FoldParallelTrainer:
         total_epochs = max(budgets)
         lr_of = schedule_from_config(cfg)
 
-        x = jnp.asarray(x)
-        y = jnp.asarray(y)
-        val_idx, val_w = self._rectangular_grids([v for _, v in folds], cfg.batch_size)
+        if self.shard_data:
+            (x_tr_d, y_tr_d, w_tr_d, x_va_d, y_va_d,
+             val_idx, val_w) = self._stack_fold_data(x, y, folds)
+        else:
+            x = jnp.asarray(x)
+            y = jnp.asarray(y)
+            val_idx, val_w = self._rectangular_grids([v for _, v in folds], cfg.batch_size)
 
         hist = {k: [] for k in ("loss", "dice", "val_loss", "val_dice", "lr")}
         best = [{"value": -np.inf, "epoch": -1, "params": None, "batch_stats": None}
@@ -261,22 +378,29 @@ class FoldParallelTrainer:
 
         for epoch in range(total_epochs):
             ekey = jax.random.fold_in(root, epoch)
-            perms = []
-            for f, (tr, _) in enumerate(folds):
-                fkey = jax.random.fold_in(ekey, f)
-                perms.append(np.asarray(jax.random.permutation(fkey, len(tr))))
-            shuffled = [np.asarray(tr)[perms[f]] for f, (tr, _) in enumerate(folds)]
-            idx, w = self._rectangular_grids(shuffled, cfg.batch_size)
-            steps = idx.shape[1]
-            keys = jnp.stack([
-                jax.random.split(jax.random.fold_in(ekey, 1000 + f), steps)
-                for f in range(F)
-            ])
             active = jnp.asarray([epoch < b for b in budgets])
             lr = jnp.float32(lr_of(epoch))
 
-            states, loss, dice = self._epoch_fn(states, x, y, idx, w, keys, lr, active)
-            vl, vd = self._eval_fn(states, x, y, val_idx, val_w)
+            if self.shard_data:
+                # permutations drawn on device within each shard
+                states, loss, dice = self._epoch_sharded_fn(
+                    states, x_tr_d, y_tr_d, w_tr_d, ekey, lr, active)
+                vl, vd = self._eval_sharded_fn(states, x_va_d, y_va_d,
+                                               val_idx, val_w)
+            else:
+                perms = []
+                for f, (tr, _) in enumerate(folds):
+                    fkey = jax.random.fold_in(ekey, f)
+                    perms.append(np.asarray(jax.random.permutation(fkey, len(tr))))
+                shuffled = [np.asarray(tr)[perms[f]] for f, (tr, _) in enumerate(folds)]
+                idx, w = self._rectangular_grids(shuffled, cfg.batch_size)
+                steps = idx.shape[1]
+                keys = jnp.stack([
+                    jax.random.split(jax.random.fold_in(ekey, 1000 + f), steps)
+                    for f in range(F)
+                ])
+                states, loss, dice = self._epoch_fn(states, x, y, idx, w, keys, lr, active)
+                vl, vd = self._eval_fn(states, x, y, val_idx, val_w)
             loss, dice, vl, vd = (np.asarray(a) for a in (loss, dice, vl, vd))
             hist["loss"].append(loss)
             hist["dice"].append(dice)
@@ -358,7 +482,8 @@ def sequential_cross_validate(model, cfg: TrainConfig, x, y, folds,
 
 
 def cross_validate(model, cfg: TrainConfig, x, y, folds, mesh=None,
-                   epochs_per_fold=None, init_rng=None, verbose=False):
+                   epochs_per_fold=None, init_rng=None, verbose=False,
+                   shard_data=False):
     """Convenience wrapper: fold-parallel training + per-fold best snapshots.
 
     With a mesh, the fold count is padded to a multiple of the mesh's fold
@@ -372,7 +497,8 @@ def cross_validate(model, cfg: TrainConfig, x, y, folds, mesh=None,
         while len(folds) % fold_size:
             folds.append(folds[0])
             budgets.append(0)
-    tr = FoldParallelTrainer(model, cfg, n_folds=len(folds), mesh=mesh)
+    tr = FoldParallelTrainer(model, cfg, n_folds=len(folds), mesh=mesh,
+                             shard_data=shard_data)
     rng = init_rng if init_rng is not None else jax.random.PRNGKey(cfg.init_seed)
     states = tr.init_states(rng, x.shape[1:])
     states, hist, best = tr.fit(states, x, y, folds,
