@@ -61,10 +61,22 @@ def load_metadata(data_dir: str | Path) -> list[dict]:
                 raw = row[col]
                 p = data_dir / raw
                 if not p.exists():
-                    # Kaggle CSVs carry an ../input/... prefix; try basename
-                    # under per-modality subdirs, then flat
+                    cands = []
+                    # the real Kaggle CSV rows look like
+                    # ../input/covid19-ct-scans/ct_scans/coronacases_org_001.nii
+                    # — the reference strips that prefix by regex (ref
+                    # holdout.py:136); keep the dataset-relative tail (the
+                    # subdir is ct_scans, NOT the column name ct_scan)
+                    parts = Path(raw).parts
+                    if "input" in parts:
+                        i = parts.index("input")
+                        if len(parts) > i + 2:
+                            cands.append(data_dir / Path(*parts[i + 2:]))
+                    # fallbacks: basename under per-modality subdirs, then flat
                     name = Path(raw).name
-                    for cand in (data_dir / col / name, data_dir / name):
+                    cands += [data_dir / col / name, data_dir / (col + "s") / name,
+                              data_dir / name]
+                    for cand in cands:
                         if cand.exists():
                             p = cand
                             break
