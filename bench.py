@@ -46,6 +46,13 @@ def main():
                     help="raw CT slice resolution (BASELINE.json: 256^2 slices)")
     ap.add_argument("--out-hw", type=int, default=224,
                     help="model resolution (reference trains at 224^2)")
+    ap.add_argument("--chained", action="store_true",
+                    help="benchmark the FULL no-GT chain (lung U-Net -> "
+                         "connected-component boxes -> CLAHE+crop -> "
+                         "infection U-Net) instead of the boxes-given chain")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve the U-Net with s8xs8->s32 convs (opt-in; "
+                         "quality deltas in RESULTS.md)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +65,10 @@ def main():
     total, chunk = args.total, args.chunk
     if interpret:  # CPU smoke: keep it small
         total = chunk = min(chunk, 8)
+    if args.chained:
+        # the CCL histogram's one-hot operands are (chunk, 8192, 224) bf16
+        # per scan step — cap the chunk so the transient stays ~2 GB
+        chunk = min(chunk, 256)
     chunk = min(chunk, total)  # --total smaller than --chunk: one chunk
     n_chunks = total // chunk
     total = n_chunks * chunk
@@ -89,17 +100,54 @@ def main():
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, o, o, 1)), train=False)
 
-    @jax.jit
-    def run(x, bb1, bb2):
-        def one(argz):
-            xc, c1, c2 = argz
-            return fused_infer(model, variables, xc, c1, c2,
-                               out_hw=(o, o), threshold=0.5,
-                               interpret=interpret)
-        xs = x.reshape(n_chunks, chunk, s, s)
-        return jax.lax.map(one, (xs,
-                                 bb1.reshape(n_chunks, chunk, 4),
-                                 bb2.reshape(n_chunks, chunk, 4)))
+    if args.chained:
+        # the deployable no-GT chain: lung U-Net -> CCL boxes -> infection
+        # U-Net (onestop_tpu.production.chained_infer); box inputs unused
+        from onestop_tpu.production import chained_infer
+
+        lung_vars = model.init({"params": jax.random.PRNGKey(1)},
+                               jnp.zeros((1, o, o, 1)), train=False)
+        metric = f"chained_noGT_preproc+2xunet_{args.in_hw}px_slices"
+
+        @jax.jit
+        def run(x, bb1, bb2):
+            def one(xc):
+                masks, _, _ = chained_infer(model, lung_vars, model, variables,
+                                            xc, model_hw=(o, o), threshold=0.5,
+                                            interpret=interpret)
+                return masks
+            return jax.lax.map(one, x.reshape(n_chunks, chunk, s, s))
+    elif args.int8:
+        from onestop_tpu.serve_int8 import calibrate_and_quantize, fused_infer_int8
+
+        x_cal = jnp.asarray(rng.random((8, o, o, 1)), jnp.float32)
+        q = calibrate_and_quantize(variables, x_cal)
+        metric = f"int8_fused_preproc+unet_infer_{args.in_hw}px_slices"
+
+        @jax.jit
+        def run(x, bb1, bb2):
+            def one(argz):
+                xc, c1, c2 = argz
+                return fused_infer_int8(q, xc, c1, c2, out_hw=(o, o),
+                                        threshold=0.5, interpret=interpret)
+            xs = x.reshape(n_chunks, chunk, s, s)
+            return jax.lax.map(one, (xs,
+                                     bb1.reshape(n_chunks, chunk, 4),
+                                     bb2.reshape(n_chunks, chunk, 4)))
+    else:
+        metric = f"fused_preproc+unet_infer_{args.in_hw}px_slices"
+
+        @jax.jit
+        def run(x, bb1, bb2):
+            def one(argz):
+                xc, c1, c2 = argz
+                return fused_infer(model, variables, xc, c1, c2,
+                                   out_hw=(o, o), threshold=0.5,
+                                   interpret=interpret)
+            xs = x.reshape(n_chunks, chunk, s, s)
+            return jax.lax.map(one, (xs,
+                                     bb1.reshape(n_chunks, chunk, 4),
+                                     bb2.reshape(n_chunks, chunk, 4)))
 
     out = run(bufs[0], b1_d, b2_d)
     _ = np.asarray(out.ravel()[0])  # warm compile + drain
@@ -112,7 +160,7 @@ def main():
 
     slices_per_sec = total * args.iters / dt
     print(json.dumps({
-        "metric": f"fused_preproc+unet_infer_{args.in_hw}px_slices",
+        "metric": metric,
         "value": round(slices_per_sec, 1),
         "unit": "slices/sec/chip",
         "vs_baseline": round(slices_per_sec / 5000.0, 4),

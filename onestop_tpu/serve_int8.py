@@ -139,6 +139,113 @@ def unet_apply_int8(q: dict, x: Array, dtype=jnp.bfloat16) -> Array:
                          q["widths"], qconv=qconv)
 
 
+# ---------------------------------------------------------------------------
+# generic int8 path (all three model families) via flax method interception
+# ---------------------------------------------------------------------------
+#
+# Instead of mirroring each family's forward by hand (the UNet-specific path
+# above), intercept every 3×3 ``nn.Conv`` call inside ``model.apply``: the
+# calibration pass records each conv's input amax; the int8 pass replaces
+# the conv with s8×s8→s32 + per-channel dequant. Everything else (BN,
+# ConvTranspose, pooling, dense, dropout-off, the nested U-Net++ skips) runs
+# through the model's own code — equivalence is by construction, asserted in
+# tests/test_int8.py. The 1×1 sigmoid heads and Dense layers stay in the
+# model dtype: they are a negligible share of the FLOPs and the most
+# precision-sensitive.
+
+def _is_q_conv(module) -> bool:
+    from flax import linen as nn
+
+    return (isinstance(module, nn.Conv)
+            and tuple(module.kernel_size) == (3, 3))
+
+
+def quantize_model(model, variables, x_cal) -> dict:
+    """Calibrate (one f32 pass over ``x_cal``) and quantize every 3×3 conv
+    of ANY onestop model (UNet / UNetPP / ClassifierCNN). Returns a
+    quantization tree for ``apply_int8_model``."""
+    from flax import linen as nn
+
+    record: dict[str, float] = {}
+
+    def cal_ic(next_fun, args, kwargs, context):
+        m = context.module
+        if _is_q_conv(m) and context.method_name == "__call__":
+            key = "/".join(m.path)
+            amax = float(jnp.max(jnp.abs(args[0].astype(jnp.float32))))
+            record[key] = max(record.get(key, 0.0), amax)
+        return next_fun(*args, **kwargs)
+
+    with nn.intercept_methods(cal_ic):
+        model.apply(variables, jnp.asarray(x_cal, jnp.float32), train=False)
+
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(variables["params"]))
+    q = {"act_scales": {}, "kernels_q": {}, "kscales": {}}
+    for key, amax in record.items():
+        node = params
+        for part in key.split("/"):
+            node = node[part]
+        w = np.asarray(node["kernel"], np.float64)
+        kscale = np.maximum(np.abs(w).reshape(-1, w.shape[-1]).max(axis=0), 1e-12) / 127.0
+        q["act_scales"][key] = max(amax, 1e-12) / 127.0
+        q["kernels_q"][key] = np.clip(np.round(w / kscale), -127, 127).astype(np.int8)
+        q["kscales"][key] = kscale.astype(np.float32)
+    return q
+
+
+def apply_int8_model(model, q: dict, variables, x: Array,
+                     dtype=jnp.bfloat16) -> Array:
+    """``model.apply(variables, x, train=False)`` with every calibrated 3×3
+    conv executed in int8 (s8×s8→s32 on the MXU, per-channel dequant)."""
+    from flax import linen as nn
+
+    kernels_q, kscales, act_scales = q["kernels_q"], q["kscales"], q["act_scales"]
+
+    def int8_ic(next_fun, args, kwargs, context):
+        m = context.module
+        if not (_is_q_conv(m) and context.method_name == "__call__"):
+            return next_fun(*args, **kwargs)
+        key = "/".join(m.path)
+        if key not in kernels_q:
+            return next_fun(*args, **kwargs)
+        xx = args[0]
+        sx = act_scales[key]
+        xq = jnp.clip(jnp.round(xx.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            xq, jnp.asarray(kernels_q[key]), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        deq = (sx * jnp.asarray(kscales[key])).astype(jnp.float32)
+        bias = jnp.asarray(m.variables["params"]["bias"], jnp.float32)
+        return (y.astype(jnp.float32) * deq + bias).astype(dtype)
+
+    with nn.intercept_methods(int8_ic):
+        return model.apply(variables, x.astype(dtype), train=False)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "model", "out_hw", "threshold", "interpret"))
+def fused_infer_int8_model(
+    model,
+    q: dict,
+    variables,
+    imgs_u8: Array,
+    boxes1: Array,
+    boxes2: Array,
+    out_hw: tuple[int, int] = (224, 224),
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+):
+    """The serving chain with the generic int8 model path (any family)."""
+    from onestop_tpu.ops.pipeline import serving_preproc
+
+    x = serving_preproc(imgs_u8, boxes1, boxes2, out_hw, interpret=interpret)
+    probs = apply_int8_model(model, q, variables, x)
+    if threshold is None:
+        return probs
+    return probs > threshold
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "threshold", "interpret"))
 def fused_infer_int8(
     q: dict,

@@ -72,3 +72,64 @@ def test_fused_infer_int8_end_to_end(rng):
     masks = fused_infer_int8(q, imgs, b1, b2, out_hw=(64, 64),
                              threshold=0.5, interpret=True)
     assert masks.shape == (2, 64, 64, 1) and masks.dtype == jnp.bool_
+
+
+# ---------------------------------------------------------------------------
+# generic interceptor-based int8 (all three families)
+# ---------------------------------------------------------------------------
+
+def test_generic_int8_matches_unet_specific(rng):
+    """quantize_model/apply_int8_model (flax interception) must agree with
+    the hand-written UNet int8 path: same quantized kernels and scales, and
+    matching outputs."""
+    from onestop_tpu.serve_int8 import apply_int8_model, quantize_model
+
+    model, v = _trained_like_variables(rng)
+    x_cal = jnp.asarray(rng.random((4, 64, 64, 1)), jnp.float32)
+    q_old = calibrate_and_quantize(v, x_cal, widths=_WIDTHS)
+    q_new = quantize_model(model, v, x_cal)
+
+    assert set(q_new["kernels_q"]) == set(q_old["kernels_q"])
+    for k in q_old["kernels_q"]:
+        np.testing.assert_array_equal(q_new["kernels_q"][k], q_old["kernels_q"][k])
+        np.testing.assert_allclose(q_new["act_scales"][k], q_old["act_scales"][k],
+                                   rtol=1e-6)
+
+    x = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    ref = np.asarray(unet_apply_int8(q_old, x, dtype=jnp.float32))
+    got = np.asarray(apply_int8_model(model, q_new, v, x, dtype=jnp.float32))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_generic_int8_unetpp(rng):
+    from onestop_tpu.models import UNetPP
+    from onestop_tpu.serve_int8 import apply_int8_model, quantize_model
+
+    model = UNetPP(widths=(2, 4, 8, 16))
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    v = jax.tree_util.tree_map(np.asarray, jax.device_get(v))
+    v["params"]["head"]["kernel"] = v["params"]["head"]["kernel"] * 60.0
+    x_cal = jnp.asarray(rng.random((4, 32, 32, 1)), jnp.float32)
+    q = quantize_model(model, v, x_cal)
+    assert len(q["kernels_q"]) == 20     # every 3x3 conv, head (1x1) excluded
+    x = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
+    ref = np.asarray(model.apply(v, x, train=False))
+    got = np.asarray(apply_int8_model(model, q, v, x, dtype=jnp.float32))
+    assert np.abs(ref - got).mean() < 0.05
+
+
+def test_generic_int8_classifier(rng):
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.serve_int8 import apply_int8_model, quantize_model
+
+    model = ClassifierCNN(widths=(4, 8), dense=8)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, 32, 32, 1)), train=False)
+    x_cal = jnp.asarray(rng.random((4, 32, 32, 1)), jnp.float32)
+    q = quantize_model(model, v, x_cal)
+    assert len(q["kernels_q"]) == 4      # 3x3 convs only; Dense stays f32/bf16
+    x = jnp.asarray(rng.random((3, 32, 32, 1)), jnp.float32)
+    ref = np.asarray(model.apply(v, x, train=False))
+    got = np.asarray(apply_int8_model(model, q, v, x, dtype=jnp.float32))
+    assert np.abs(ref - got).mean() < 0.05
