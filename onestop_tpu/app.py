@@ -39,6 +39,11 @@ def main(argv=None):
                         help="train-time augmentation: per-batch on-device, or "
                              "materialize n_samples and concat (reference's "
                              "commented-out merge)")
+    parser.add_argument("--lung-dim", type=int, default=None,
+                        help="('seven' only) train/serve the chain's stage-1 "
+                             "lung U-Net at this resolution (e.g. 112 for "
+                             "~4x fewer stage-1 FLOPs; boxes only need "
+                             "lung-scale precision)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -58,6 +63,8 @@ def main(argv=None):
     # with their task defaults
     if args.use_augmentation and token not in ("one", "two", "seven"):
         extra["use_augmentation"] = args.use_augmentation
+    if args.lung_dim is not None and token == "seven":
+        extra["lung_dim"] = args.lung_dim
     results = runner(data_dir=args.data_dir, out_dir=args.out_dir,
                      small_run=args.small_run, verbose=args.verbose,
                      cache_dir=args.cache_dir, **extra)

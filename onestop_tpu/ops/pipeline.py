@@ -24,7 +24,8 @@ from onestop_tpu.ops.crop import fuse_lung_crops
 Array = jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("model", "out_hw", "threshold", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "model", "out_hw", "threshold", "interpret", "pre_enhanced"))
 def fused_infer(
     model,
     variables,
@@ -34,6 +35,7 @@ def fused_infer(
     out_hw: tuple[int, int] = (256, 256),
     threshold: float | None = 0.5,
     interpret: bool = False,
+    pre_enhanced: bool = False,
 ):
     """Full preproc + inference. Returns (B, out_h, out_w, 1) masks
     (bool if threshold given, else probabilities).
@@ -43,8 +45,13 @@ def fused_infer(
     at ~2^-8) and the model input is pre-cast to the model dtype — identical
     to the cast the model itself applies, so this changes nothing when
     model.dtype is bfloat16. Dataset builds keep the fp32-HIGHEST path
-    (ops.resize default) for cv2 parity."""
-    x = serving_preproc(imgs_u8, boxes1, boxes2, out_hw, interpret=interpret)
+    (ops.resize default) for cv2 parity.
+
+    ``pre_enhanced``: the inputs are already CLAHE'd — skip the kernel
+    (callers like ``production.chained_infer`` enhance once and feed both
+    the lung stage and this chain)."""
+    x = serving_preproc(imgs_u8, boxes1, boxes2, out_hw, interpret=interpret,
+                        pre_enhanced=pre_enhanced)
     probs = model.apply(variables, x.astype(model.dtype), train=False)
     if threshold is None:
         return probs
@@ -52,13 +59,14 @@ def fused_infer(
 
 
 def serving_preproc(imgs_u8: Array, boxes1: Array, boxes2: Array,
-                    out_hw: tuple[int, int], interpret: bool = False) -> Array:
+                    out_hw: tuple[int, int], interpret: bool = False,
+                    pre_enhanced: bool = False) -> Array:
     """The shared serving preprocessing: Pallas CLAHE → per-image dynamic
     two-lung crop-resize (bf16 matmul precision) → /255. Returns
     (B, oh, ow, 1) float32. Both the bf16 chain (``fused_infer``) and the
     int8 chain (``serve_int8.fused_infer_int8``) call this — one
     implementation, no drift between serving modes."""
-    enhanced = clahe_fused(imgs_u8, interpret=interpret)  # (B, H, W) uint8
+    enhanced = imgs_u8 if pre_enhanced else clahe_fused(imgs_u8, interpret=interpret)
     tile_hw = (out_hw[0], out_hw[1] // 2)
 
     def crop_one(img, b1, b2):

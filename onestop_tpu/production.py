@@ -43,7 +43,8 @@ Array = jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold", "interpret"))
+    "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
+    "interpret", "ccl_stride", "lung_hw"))
 def chained_infer(
     lung_model,
     lung_variables,
@@ -54,31 +55,68 @@ def chained_infer(
     lung_threshold: float = 0.5,
     threshold: float | None = 0.5,
     interpret: bool = False,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
 ):
     """Full no-ground-truth chain. Returns (masks, boxes1, boxes2):
     masks (B, oh, ow, 1) — bool if ``threshold`` given, else probabilities —
     in the two-lung-crop frame; boxes in raw-image coordinates (float32,
-    (x, y, w, h)), usable to map masks back onto the raw slice."""
+    (x, y, w, h)), usable to map masks back onto the raw slice.
+
+    CLAHE runs ONCE on the raw batch and feeds both the lung stage and the
+    infection chain (stage 3 passes ``pre_enhanced=True`` — the reference
+    applies the same single enhancement to the CT before both uses too,
+    ``holdout.py:347-358``).
+
+    ``ccl_stride``: connected-component labeling runs on a stride×stride
+    max-pooled lung mask (default 2 → 4× fewer pixels through the segmented
+    scans, the chain's dominant non-conv cost) and the boxes are scaled back
+    up — the pooled box always covers the exact one, overshooting by less
+    than ``stride`` px per side. Lung boxes only gate a crop that is
+    immediately resized, so sub-stride box precision is quality-neutral
+    (quantified in artifacts_tpu/round3_ccl_stride.json via
+    scripts/verify_ccl_stride.py); pooling cannot split a component, and can
+    only merge ones closer than ``stride`` px — the inter-lung gap is ~20 px
+    at 224². Set 1 for exact boxes.
+
+    ``lung_hw``: resolution of the stage-1 lung pass (default ``model_hw``).
+    Boxes only need lung-scale precision, so the lung U-Net can run at e.g.
+    112² for ~4× fewer stage-1 FLOPs — the lung model must then be TRAINED
+    at that resolution (``runner_production_chain(lung_dim=112)``)."""
     b, h, w = raw_u8.shape
+    lung_hw = model_hw if lung_hw is None else lung_hw
     enhanced = clahe_fused(raw_u8, interpret=interpret)          # (B, H, W) uint8
 
-    # stage 1: full-frame lung segmentation at model resolution
-    x_lung = resize2d(enhanced.astype(jnp.float32), model_hw, "area")
+    # stage 1: full-frame lung segmentation at lung resolution
+    x_lung = resize2d(enhanced.astype(jnp.float32), lung_hw, "area")
     x_lung = (x_lung / 255.0)[..., None]
     lung_probs = lung_model.apply(lung_variables, x_lung, train=False)
-    lung_masks = lung_probs[..., 0] > lung_threshold             # (B, oh, ow)
+    lung_masks = lung_probs[..., 0] > lung_threshold             # (B, lh, lw)
 
     # stage 2: predicted boxes, rescaled from model to raw coordinates
+    s = ccl_stride
+    if s > 1:
+        lung_masks = jax.lax.reduce_window(
+            lung_masks, False, jax.lax.bitwise_or, (1, s, s), (1, s, s), "VALID")
     b1, b2 = lung_boxes_batch(lung_masks.astype(jnp.float32))
-    sy = h / model_hw[0]
-    sx = w / model_hw[1]
+    b1, b2 = b1.astype(jnp.float32), b2.astype(jnp.float32)
+    if s > 1:
+        # pooled cell (x, y) covers model px [x·s, x·s + s): scaling the
+        # pooled box by s already covers the exact stride-1 box on every side
+        # (x0p·s ≤ x0 and (x1p+1)·s − 1 ≥ x1), overshooting by < s px per
+        # side and never leaving the lung frame
+        b1 = b1 * s
+        b2 = b2 * s
+    sy = h / lung_hw[0]
+    sx = w / lung_hw[1]
     scale = jnp.array([sx, sy, sx, sy], jnp.float32)             # (x, y, w, h)
-    b1 = b1.astype(jnp.float32) * scale
-    b2 = b2.astype(jnp.float32) * scale
+    b1 = b1 * scale
+    b2 = b2 * scale
 
-    # stage 3: the task1 serving chain with predicted boxes
-    masks = fused_infer(seg_model, seg_variables, raw_u8, b1, b2,
-                        out_hw=model_hw, threshold=threshold, interpret=interpret)
+    # stage 3: the task1 serving chain with predicted boxes (CLAHE reused)
+    masks = fused_infer(seg_model, seg_variables, enhanced, b1, b2,
+                        out_hw=model_hw, threshold=threshold, interpret=interpret,
+                        pre_enhanced=True)
     return masks, b1, b2
 
 

@@ -676,7 +676,8 @@ def runner_lung_segmentation(
 
 def runner_production_chain(
     data_dir=None, out_dir=None, small_run=False, verbose=False,
-    cache_dir=None, mesh=None, threshold=0.5, save_figures=True, **kw
+    cache_dir=None, mesh=None, threshold=0.5, save_figures=True,
+    lung_dim=None, **kw
 ):
     """CLI menu 'seven' — the chained no-ground-truth pipeline the
     reference's menu advertises but never implements (ref ``app.py:29``
@@ -700,6 +701,16 @@ def runner_production_chain(
         epochs = kw.pop("epochs", 3)
         task1 = _small(task1, epochs=epochs)
         task3 = _small(task3, epochs=epochs)
+    if lung_dim is not None:
+        # stage-1 lung model at reduced resolution (chained_infer lung_hw):
+        # boxes only need lung-scale precision; ~(dim/new_dim)^2 of the
+        # stage-1 FLOPs. The lung dataset, training, and serving all move to
+        # lung_dim together so there is no train/serve skew.
+        task3 = dataclasses.replace(
+            task3,
+            preprocess=dataclasses.replace(task3.preprocess, new_dim=lung_dim),
+            model=dataclasses.replace(task3.model, in_size=lung_dim),
+        )
     pre = task1.preprocess
     out_path = _out(out_dir)
 
@@ -743,9 +754,11 @@ def runner_production_chain(
     d = pre.new_dim
     interp = jax.default_backend() == "cpu"
 
+    lung_hw = None if lung_dim is None else (lung_dim, lung_dim)
     masks_chain, b1p, b2p = chained_infer(
         lung_model, _vars(lung_res), seg_model, _vars(seg_res), raw_u8,
-        model_hw=(d, d), threshold=threshold, interpret=interp)
+        model_hw=(d, d), threshold=threshold, interpret=interp,
+        lung_hw=lung_hw)
     b1g, b2g, _ = _kernel_boxes(jnp.asarray(lungs_bin[keep], jnp.float32), (d, d // 2))
     masks_gtbox = fused_infer(seg_model, _vars(seg_res), raw_u8, b1g, b2g,
                               out_hw=(d, d), threshold=threshold, interpret=interp)
@@ -778,7 +791,8 @@ def runner_production_chain(
 
         # the chain gallery needs the stage-1 lung mask, which chained_infer
         # consumes internally — recompute it for the one displayed slice
-        x_l = (resize2d(raw_u8[:1].astype(jnp.float32), (d, d), "area") / 255.0)[..., None]
+        ld = d if lung_dim is None else lung_dim
+        x_l = (resize2d(raw_u8[:1].astype(jnp.float32), (ld, ld), "area") / 255.0)[..., None]
         lung_mask0 = np.asarray(
             lung_model.apply(_vars(lung_res), x_l, train=False)[0, ..., 0] > 0.5)
         viz.plot_production_chain(

@@ -124,41 +124,73 @@ def cls_study(name, ckpt_glob, x, y, cal_n=32):
 
 
 def main():
+    # optional: names of studies to (re)run; others keep their values from an
+    # existing artifacts_tpu/round3_int8_quality.json
+    only = set(sys.argv[1:])
     out = {}
+    if only and os.path.exists("artifacts_tpu/round3_int8_quality.json"):
+        with open("artifacts_tpu/round3_int8_quality.json") as f:
+            out = json.load(f)
+
+    def want(name):
+        return not only or name in only
 
     task1 = C.task1_holdout()
-    x, y = R._seg_data(None, None, task1, CACHE, "task1", dict(KW))
     unet = UNet(dtype=jnp.bfloat16)
-    out["task1_unet"] = seg_study(
-        "task1_unet", unet, "artifacts_tpu/q2_holdout/unet_covid_holdout_*.msgpack",
-        x, y)
+    if want("task1_unet") or want("task1_unetpp"):
+        x, y = R._seg_data(None, None, task1, CACHE, "task1", dict(KW))
+    if want("task1_unet"):
+        out["task1_unet"] = seg_study(
+            "task1_unet", unet,
+            "artifacts_tpu/q2_holdout/unet_covid_holdout_*.msgpack", x, y)
 
-    m = C.task1_unetpp().model
-    unetpp = UNetPP(widths=tuple(m.unetpp_widths),
-                    backbone_dropout=m.unetpp_backbone_dropout,
-                    block_dropout=m.unetpp_block_dropout, dtype=jnp.bfloat16)
-    out["task1_unetpp"] = seg_study(
-        "task1_unetpp", unetpp,
-        "artifacts_tpu/q2_unetpp/unetpp_covid_holdout_*.msgpack", x, y)
+    if want("task1_unetpp"):
+        m = C.task1_unetpp().model
+        unetpp = UNetPP(widths=tuple(m.unetpp_widths),
+                        backbone_dropout=m.unetpp_backbone_dropout,
+                        block_dropout=m.unetpp_block_dropout, dtype=jnp.bfloat16)
+        out["task1_unetpp"] = seg_study(
+            "task1_unetpp", unetpp,
+            "artifacts_tpu/q2_unetpp/unetpp_covid_holdout_*.msgpack", x, y)
 
+    # task3 trains on the LUNG-target dataset (build_lung_dataset), not the
+    # infection one, and its q2 checkpoint was trained on 8 cases — rebuild
+    # exactly what the checkpoint saw
     task3 = C.task3_lung()
-    x3, y3 = R._seg_data(None, None, task3, CACHE, "task3", dict(KW))
-    out["task3_lung"] = seg_study(
-        "task3_lung", unet,
-        "artifacts_tpu/q2_task3/unet_lung_segmentation_*.msgpack", x3, y3)
+    kw3 = dict(KW, n_synthetic=8)
 
-    def _build_cls():
-        t = list(R._case_slice_triples(None, C.task2_classification().preprocess, **KW))
-        from onestop_tpu.data import build_classification_dataset
-        return build_classification_dataset(t, C.task2_classification().preprocess)
+    if want("task3_lung"):
+        def _build_t3():
+            from onestop_tpu.data import build_lung_dataset
+            pairs = list(R._case_slice_triples(None, task3.preprocess,
+                                               with_infection=False, **kw3))
+            return build_lung_dataset(pairs, task3.preprocess)
 
-    x2, y2 = R._maybe_cached(_build_cls, CACHE, "task2",
-                             C.task2_classification().preprocess,
-                             ("cts_cropped_lungs_224", "y_label"),
-                             source_key=R._source_key(None, dict(KW)))
-    out["task2_classifier"] = cls_study(
-        "task2_classifier", "artifacts_tpu/q2_cls*/covid_classifier_*.msgpack",
-        x2, np.asarray(y2, np.float32))
+        x3, y3 = R._maybe_cached(_build_t3, CACHE, "task3", task3.preprocess,
+                                 ("cts_cropped_lungs_224", "lungs_cropped_224"),
+                                 source_key=R._source_key(None, kw3))
+        out["task3_lung"] = seg_study(
+            "task3_lung", unet,
+            "artifacts_tpu/q2_task3/unet_lung_segmentation_*.msgpack", x3, y3)
+
+    # the q2 'balanced' classifier checkpoint trained on infected_fraction=0.5
+    kw2 = dict(KW, infected_fraction=0.5)
+
+    if want("task2_classifier"):
+        def _build_cls():
+            t = list(R._case_slice_triples(
+                None, C.task2_classification().preprocess, **kw2))
+            from onestop_tpu.data import build_classification_dataset
+            return build_classification_dataset(
+                t, C.task2_classification().preprocess)
+
+        x2, y2 = R._maybe_cached(_build_cls, CACHE, "task2",
+                                 C.task2_classification().preprocess,
+                                 ("cts_cropped_lungs_224", "y_label"),
+                                 source_key=R._source_key(None, kw2))
+        out["task2_classifier"] = cls_study(
+            "task2_classifier", "artifacts_tpu/q2_cls*/covid_classifier_*.msgpack",
+            x2, np.asarray(y2, np.float32))
 
     gate = lambda r: (r.get("dice_delta_at_threshold", 0.0) < 0.005
                       and r.get("mask_agreement", 1.0) > 0.99)

@@ -70,7 +70,8 @@ def test_chained_boxes_track_true_lungs():
                   jnp.zeros((1, 64, 64, 1)), train=False)
 
     masks, b1, b2 = chained_infer(truth, {}, seg, vs, raw_u8, model_hw=(64, 64),
-                                  threshold=0.5, interpret=_INTERPRET)
+                                  threshold=0.5, interpret=_INTERPRET,
+                                  ccl_stride=1)
     # GT boxes straight from the raw-resolution mask, for comparison
     from onestop_tpu.ops.pipeline import lung_boxes_batch
     g1, g2 = lung_boxes_batch(jnp.asarray((lungs > 0) * 1.0, jnp.float32))
@@ -79,6 +80,41 @@ def test_chained_boxes_track_true_lungs():
     for pred, gt in ((b1, g1), (b2, g2)):
         np.testing.assert_allclose(np.asarray(pred), np.asarray(gt, np.float32),
                                    atol=4.0)
+
+    # coarse CCL (default stride 2): boxes only ever GROW relative to exact
+    # stride-1 boxes, by less than stride model-pixels per side, and the
+    # masks frame stays identical in shape
+    m2, c1, c2 = chained_infer(truth, {}, seg, vs, raw_u8, model_hw=(64, 64),
+                               threshold=0.5, interpret=_INTERPRET,
+                               ccl_stride=2)
+    assert m2.shape == masks.shape
+    scale = 128 / 64
+    for coarse, exact in ((c1, b1), (c2, b2)):
+        co, ex = np.asarray(coarse), np.asarray(exact)
+        # origin moves only down/left, within (stride-1) model px
+        assert (co[:, :2] <= ex[:, :2] + 1e-3).all()
+        assert (ex[:, :2] - co[:, :2] <= 1 * scale + 1e-3).all()
+        # far edge moves only up/right, within (stride-1) model px
+        co_end, ex_end = co[:, :2] + co[:, 2:], ex[:, :2] + ex[:, 2:]
+        assert (co_end >= ex_end - 1e-3).all()
+        assert (co_end - ex_end <= 1 * scale + 1e-3).all()
+
+
+def test_serving_preproc_pre_enhanced_skips_clahe(rng):
+    """fused_infer(pre_enhanced=True) on already-CLAHE'd pixels must equal
+    the plain path on raw pixels — the chained pipeline enhances once and
+    feeds both stages."""
+    from onestop_tpu.ops.clahe_pallas import clahe_fused
+    from onestop_tpu.ops.pipeline import serving_preproc
+
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 128, 128), dtype=np.uint8))
+    b1 = jnp.tile(jnp.array([10, 12, 40, 60], jnp.int32), (2, 1))
+    b2 = jnp.tile(jnp.array([70, 12, 40, 60], jnp.int32), (2, 1))
+    plain = serving_preproc(imgs, b1, b2, (64, 64), interpret=_INTERPRET)
+    enhanced = clahe_fused(imgs, interpret=_INTERPRET)
+    pre = serving_preproc(enhanced, b1, b2, (64, 64), interpret=_INTERPRET,
+                          pre_enhanced=True)
+    np.testing.assert_array_equal(np.asarray(plain), np.asarray(pre))
 
 
 def test_build_plain_lung_dataset_shapes_and_range():
