@@ -66,8 +66,10 @@ def main():
     if interpret:  # CPU smoke: keep it small
         total = chunk = min(chunk, 8)
     if args.chained:
-        # the CCL histogram's one-hot operands are (chunk, 8192, 224) bf16
-        # per scan step — cap the chunk so the transient stays ~2 GB
+        # the CCL histogram's one-hot operands are (chunk, 8192, h) bf16 per
+        # scan step — cap the chunk so the transient stays ~1 GB. chunk 512
+        # fits HBM with the stride-2 CCL but its XLA:TPU compile does not
+        # terminate in 35+ min (measured round 3) — 256 compiles in minutes
         chunk = min(chunk, 256)
     chunk = min(chunk, total)  # --total smaller than --chunk: one chunk
     n_chunks = total // chunk
