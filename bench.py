@@ -104,21 +104,37 @@ def main():
 
     if args.chained:
         # the deployable no-GT chain: lung U-Net -> CCL boxes -> infection
-        # U-Net (onestop_tpu.production.chained_infer); box inputs unused
+        # U-Net (onestop_tpu.production.chained_infer); box inputs unused.
+        # --chained --int8 serves BOTH U-Nets int8 (chained_infer_int8)
         from onestop_tpu.production import chained_infer
 
         lung_vars = model.init({"params": jax.random.PRNGKey(1)},
                                jnp.zeros((1, o, o, 1)), train=False)
-        metric = f"chained_noGT_preproc+2xunet_{args.in_hw}px_slices"
+        if args.int8:
+            from onestop_tpu.serve_int8 import chained_infer_int8, quantize_model
 
-        @jax.jit
-        def run(x, bb1, bb2):
-            def one(xc):
+            x_cal = jnp.asarray(rng.random((8, o, o, 1)), jnp.float32)
+            q_seg = quantize_model(model, variables, x_cal)
+            q_lung = quantize_model(model, lung_vars, x_cal)
+            metric = f"chained_noGT_int8_2xunet_{args.in_hw}px_slices"
+
+            def one_chunk(xc):
+                masks, _, _ = chained_infer_int8(
+                    model, q_lung, lung_vars, model, q_seg, variables, xc,
+                    model_hw=(o, o), threshold=0.5, interpret=interpret)
+                return masks
+        else:
+            metric = f"chained_noGT_preproc+2xunet_{args.in_hw}px_slices"
+
+            def one_chunk(xc):
                 masks, _, _ = chained_infer(model, lung_vars, model, variables,
                                             xc, model_hw=(o, o), threshold=0.5,
                                             interpret=interpret)
                 return masks
-            return jax.lax.map(one, x.reshape(n_chunks, chunk, s, s))
+
+        @jax.jit
+        def run(x, bb1, bb2):
+            return jax.lax.map(one_chunk, x.reshape(n_chunks, chunk, s, s))
     elif args.int8:
         from onestop_tpu.serve_int8 import calibrate_and_quantize, fused_infer_int8
 

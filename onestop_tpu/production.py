@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from onestop_tpu.ops.clahe_pallas import clahe_fused
-from onestop_tpu.ops.pipeline import fused_infer, lung_boxes_batch
+from onestop_tpu.ops.pipeline import lung_boxes_batch
 from onestop_tpu.ops.resize import resize2d
 
 Array = jax.Array
@@ -83,6 +83,21 @@ def chained_infer(
     Boxes only need lung-scale precision, so the lung U-Net can run at e.g.
     112² for ~4× fewer stage-1 FLOPs — the lung model must then be TRAINED
     at that resolution (``runner_production_chain(lung_dim=112)``)."""
+    lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
+    seg_apply = lambda x: seg_model.apply(
+        seg_variables, x.astype(seg_model.dtype), train=False)
+    return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
+                         lung_threshold, threshold, interpret, ccl_stride,
+                         lung_hw)
+
+
+def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
+                  threshold, interpret, ccl_stride, lung_hw):
+    """The three chain stages, parameterized over the two model forwards so
+    the bf16 (``chained_infer``) and int8 (``serve_int8.chained_infer_int8``)
+    paths share one implementation."""
+    from onestop_tpu.ops.pipeline import serving_preproc
+
     b, h, w = raw_u8.shape
     lung_hw = model_hw if lung_hw is None else lung_hw
     enhanced = clahe_fused(raw_u8, interpret=interpret)          # (B, H, W) uint8
@@ -90,7 +105,7 @@ def chained_infer(
     # stage 1: full-frame lung segmentation at lung resolution
     x_lung = resize2d(enhanced.astype(jnp.float32), lung_hw, "area")
     x_lung = (x_lung / 255.0)[..., None]
-    lung_probs = lung_model.apply(lung_variables, x_lung, train=False)
+    lung_probs = lung_apply(x_lung)
     lung_masks = lung_probs[..., 0] > lung_threshold             # (B, lh, lw)
 
     # stage 2: predicted boxes, rescaled from model to raw coordinates
@@ -114,9 +129,10 @@ def chained_infer(
     b2 = b2 * scale
 
     # stage 3: the task1 serving chain with predicted boxes (CLAHE reused)
-    masks = fused_infer(seg_model, seg_variables, enhanced, b1, b2,
-                        out_hw=model_hw, threshold=threshold, interpret=interpret,
+    x = serving_preproc(enhanced, b1, b2, model_hw, interpret=interpret,
                         pre_enhanced=True)
+    probs = seg_apply(x)
+    masks = probs if threshold is None else probs > threshold
     return masks, b1, b2
 
 

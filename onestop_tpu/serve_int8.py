@@ -246,6 +246,40 @@ def fused_infer_int8_model(
     return probs > threshold
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
+    "interpret", "ccl_stride", "lung_hw"))
+def chained_infer_int8(
+    lung_model,
+    lung_q: dict,
+    lung_variables,
+    seg_model,
+    seg_q: dict,
+    seg_variables,
+    raw_u8: Array,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
+):
+    """The full no-GT chain (``production.chained_infer``) with BOTH U-Nets
+    served int8 — the box stage tolerates quantization trivially (boxes move
+    only if a whole connected-component boundary pixel flips at the 0.5
+    threshold), and the infection stage carries the measured per-family
+    quality gate (RESULTS.md int8 table). Same stage implementation as the
+    bf16 chain (``production._chain_stages``)."""
+    from onestop_tpu.production import _chain_stages
+
+    lung_apply = lambda x: apply_int8_model(lung_model, lung_q,
+                                            lung_variables, x)
+    seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
+    return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
+                         lung_threshold, threshold, interpret, ccl_stride,
+                         lung_hw)
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "threshold", "interpret"))
 def fused_infer_int8(
     q: dict,

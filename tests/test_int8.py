@@ -133,3 +133,29 @@ def test_generic_int8_classifier(rng):
     ref = np.asarray(model.apply(v, x, train=False))
     got = np.asarray(apply_int8_model(model, q, v, x, dtype=jnp.float32))
     assert np.abs(ref - got).mean() < 0.05
+
+
+def test_chained_infer_int8_end_to_end(rng):
+    """Both chain U-Nets served int8 through the shared stage implementation
+    (production._chain_stages): shapes, dtypes, determinism, and boxes inside
+    the raw frame — the int8 analog of the bf16 chained_infer smoke."""
+    from onestop_tpu.serve_int8 import chained_infer_int8, quantize_model
+
+    lung, vl = _trained_like_variables(rng)
+    seg, vs = _trained_like_variables(rng)
+    x_cal = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    q_l = quantize_model(lung, vl, x_cal)
+    q_s = quantize_model(seg, vs, x_cal)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 128, 128), dtype=np.uint8))
+    masks, b1, b2 = chained_infer_int8(lung, q_l, vl, seg, q_s, vs, imgs,
+                                       model_hw=(64, 64), threshold=0.5,
+                                       interpret=True)
+    assert masks.shape == (2, 64, 64, 1) and masks.dtype == jnp.bool_
+    assert b1.shape == (2, 4) and b1.dtype == jnp.float32
+    for b in (np.asarray(b1), np.asarray(b2)):
+        assert (b[:, 0] + b[:, 2] <= 128 + 1e-3).all()
+        assert (b[:, 1] + b[:, 3] <= 128 + 1e-3).all()
+    masks2, _, _ = chained_infer_int8(lung, q_l, vl, seg, q_s, vs, imgs,
+                                      model_hw=(64, 64), threshold=0.5,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
