@@ -136,6 +136,35 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
     return masks, b1, b2
 
 
+def chained_infer_sharded(
+    mesh,
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_variables,
+    raw_u8: Array,
+    axis: str = "data",
+    **kw,
+):
+    """Data-parallel no-GT chain over a device mesh: the slice batch shards
+    over ``axis``; every device runs the full chain (CLAHE → lung U-Net →
+    CCL boxes → crop → infection U-Net) on its shard with replicated
+    weights. Like ``ops.pipeline.fused_infer_sharded``, this uses shard_map
+    (GSPMD cannot partition the Pallas ``pallas_call``); serving is
+    embarrassingly data-parallel, so no collectives appear. The batch must
+    divide the axis size."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x):
+        return chained_infer(lung_model, lung_variables, seg_model,
+                             seg_variables, x, **kw)
+
+    return shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=(P(axis), P(axis), P(axis)),
+                     check_rep=False)(raw_u8)
+
+
 @functools.partial(jax.jit, static_argnames=("new_dim", "use_pallas"))
 def _kernel_enhance_resize(u8, new_dim, use_pallas=False):
     """CLAHE + plain INTER_AREA resize for the full-frame lung pairs."""

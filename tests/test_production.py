@@ -129,3 +129,22 @@ def test_build_plain_lung_dataset_shapes_and_range():
     assert 0.0 <= y.min() and y.max() <= 1.0
     # lung channel actually contains lungs
     assert (np.asarray(y) > 0.5).mean() > 0.01
+
+
+def test_chained_infer_sharded_matches_single_device(rng):
+    """Data-parallel no-GT chain over the 8-device virtual mesh must equal
+    the single-device chain exactly (pure DP, replicated weights)."""
+    from onestop_tpu.parallel.mesh import make_mesh
+    from onestop_tpu.production import chained_infer_sharded
+
+    mesh = make_mesh()
+    lung, vl, seg, vs = _models()
+    n = int(np.prod(mesh.devices.shape))
+    imgs = jnp.asarray(rng.integers(0, 256, (n, 128, 128), dtype=np.uint8))
+    kw = dict(model_hw=(64, 64), threshold=0.5, interpret=_INTERPRET)
+    ref_m, ref_b1, ref_b2 = chained_infer(lung, vl, seg, vs, imgs, **kw)
+    got_m, got_b1, got_b2 = chained_infer_sharded(mesh, lung, vl, seg, vs,
+                                                  imgs, **kw)
+    np.testing.assert_array_equal(np.asarray(ref_m), np.asarray(got_m))
+    np.testing.assert_array_equal(np.asarray(ref_b1), np.asarray(got_b1))
+    np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(got_b2))
