@@ -5,6 +5,8 @@ checkpointing (ref ModelCheckpoint usage, holdout.py:1044-1047)."""
 from onestop_tpu.train.schedules import cosine_annealing_lr, step_decay_lr, constant_lr
 from onestop_tpu.train.trainer import Trainer, TrainState
 from onestop_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+from onestop_tpu.train.keras_import import (export_keras_weights,
+                                            import_keras_weights)
 
 __all__ = [
     "cosine_annealing_lr",
@@ -14,4 +16,6 @@ __all__ = [
     "TrainState",
     "save_checkpoint",
     "load_checkpoint",
+    "export_keras_weights",
+    "import_keras_weights",
 ]

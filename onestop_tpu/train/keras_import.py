@@ -1,8 +1,10 @@
-"""Keras ``.h5`` weight import — the persistence capability the reference
-publishes its models in (``save_weights('*.h5')`` + ``to_json`` topology,
-ref ``holdout.py:1073-1095``). This shim makes reference-published weights
-loadable into the flax models the day real weights are available
-(VERDICT r2 missing #3 / next-round #8).
+"""Keras ``.h5`` weight interop (import AND export) — the persistence
+capability the reference publishes its models in (``save_weights('*.h5')``
++ ``to_json`` topology, ref ``holdout.py:1073-1095``). The import shim makes
+reference-published weights loadable into the flax models the day real
+weights are available (VERDICT r2 missing #3 / next-round #8);
+:func:`export_keras_weights` is its exact inverse, so models trained here
+are consumable by Keras-era tooling.
 
 How the mapping works
 ---------------------
@@ -242,3 +244,59 @@ def import_keras_weights(path: str | Path, model, variables) -> dict:
                 put(bstats, flax_name, "var", w["moving_variance"])
 
     return {"params": params, "batch_stats": bstats}
+
+
+# ---------------------------------------------------------------------------
+# export (the reference's save_weights('*.h5') format, ref holdout.py:1073-1095)
+# ---------------------------------------------------------------------------
+
+def export_keras_weights(path: str | Path, model, variables,
+                         tf1_names: bool = False) -> None:
+    """Write trained flax variables as a Keras ``save_weights``-layout HDF5 —
+    the exact inverse of :func:`import_keras_weights` (round-trip asserted in
+    tests/test_keras_import.py), so models trained here are loadable by
+    Keras-era tooling and by this module's own importer.
+
+    Layout written (what TF1/TF2 ``save_weights`` emits): root attrs
+    ``layer_names``; per-layer group with attrs ``weight_names``; datasets
+    named ``<layer>/<weight>:0``. Weight transforms are the inverse of the
+    import table in the module docstring (Conv2DTranspose kernels flip back
+    to Keras (kh, kw, out, in))."""
+    import h5py
+
+    spec = spec_for_model(model)
+    names = dict(keras_name_map(model, tf1_names=tf1_names))
+    flax_to_keras = {v: k for k, v in names.items()}
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+
+    def arr(a):
+        return np.asarray(a, np.float32)
+
+    with h5py.File(path, "w") as f:
+        layer_names = []
+        for kind, flax_names in spec.items():
+            for flax_name in flax_names:
+                ln = flax_to_keras[flax_name]
+                layer_names.append(ln)
+                g = f.create_group(ln)
+                if kind in ("conv2d", "dense"):
+                    w = {"kernel": arr(params[flax_name]["kernel"]),
+                         "bias": arr(params[flax_name]["bias"])}
+                elif kind == "conv2d_transpose":
+                    k = arr(params[flax_name]["kernel"])
+                    # flax (kh, kw, in, out) -> Keras (kh, kw, out, in), flipped
+                    w = {"kernel": np.ascontiguousarray(
+                            k[::-1, ::-1].transpose(0, 1, 3, 2)),
+                         "bias": arr(params[flax_name]["bias"])}
+                else:  # batch_normalization
+                    w = {"gamma": arr(params[flax_name]["scale"]),
+                         "beta": arr(params[flax_name]["bias"]),
+                         "moving_mean": arr(bstats[flax_name]["mean"]),
+                         "moving_variance": arr(bstats[flax_name]["var"])}
+                wnames = [f"{ln}/{short}:0" for short in w]
+                for short, a in w.items():
+                    g.create_dataset(f"{ln}/{short}:0", data=a)
+                g.attrs["weight_names"] = np.array(
+                    [n.encode() for n in wnames])
+        f.attrs["layer_names"] = np.array([n.encode() for n in layer_names])

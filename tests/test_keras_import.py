@@ -183,3 +183,52 @@ def test_keras_name_map_table():
     assert ("batch_normalization_7", "dec0_bn") in table
     tf1 = dict(keras_name_map(model, tf1_names=True))
     assert tf1["conv2d_1"] == "enc0_conv0"
+
+
+@pytest.mark.parametrize("family,tf1", [("unet", False), ("unet", True),
+                                        ("unetpp", False),
+                                        ("classifier", False)])
+def test_h5_export_import_roundtrip(tmp_path, family, tf1):
+    """export_keras_weights must be the exact inverse of import_keras_weights
+    for every family (and for TF1-style layer suffixes): params and
+    batch_stats survive bit-for-bit and the forward is unchanged."""
+    from onestop_tpu.models import UNetPP
+    from onestop_tpu.train.keras_import import export_keras_weights
+
+    rng = np.random.default_rng(3)
+    if family == "unet":
+        model = UNet(widths=(4, 8), bridge=16)
+        x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    elif family == "unetpp":
+        model = UNetPP(widths=(2, 4, 8, 16))
+        x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    else:
+        model = ClassifierCNN(widths=(2, 4), dense=8)
+        x = jnp.zeros((1, 16, 16, 1), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    # perturb so round-trip equality is meaningful (BN stats non-default)
+    variables = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + rng.normal(0, 0.1, a.shape).astype(a.dtype)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else np.asarray(a),
+        jax.device_get(variables))
+
+    h5path = tmp_path / f"{family}_export.h5"
+    export_keras_weights(h5path, model, variables, tf1_names=tf1)
+    out = import_keras_weights(h5path, model, variables)
+
+    flat_in, _ = jax.tree_util.tree_flatten_with_path(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})})
+    flat_out, _ = jax.tree_util.tree_flatten_with_path(
+        {"params": out["params"], "batch_stats": out["batch_stats"]})
+    assert len(flat_in) == len(flat_out)
+    for (p_in, a_in), (p_out, a_out) in zip(flat_in, flat_out):
+        assert p_in == p_out
+        np.testing.assert_array_equal(np.asarray(a_in), np.asarray(a_out),
+                                      err_msg=str(p_in))
+
+    ref = model.apply(variables, jnp.ones_like(x), train=False)
+    got = model.apply({"params": out["params"],
+                       "batch_stats": out["batch_stats"]},
+                      jnp.ones_like(x), train=False)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
