@@ -18,7 +18,8 @@ Which task would you like to run?
   four  : Task1 — holdout U-Net++ infection segmentation
   five  : Task2 — COVID-19 slice classification CNN
   six   : Task3 — lung segmentation U-Net
-  seven : Production chain — lung U-Net boxes -> infection U-Net (no GT)
+  seven : Production chain — lung U-Net boxes -> infection U-Net (no GT;
+          --classify adds the task2 classifier for the full one-stop chain)
 """
 
 
@@ -44,6 +45,11 @@ def main(argv=None):
                              "lung U-Net at this resolution (e.g. 112 for "
                              "~4x fewer stage-1 FLOPs; boxes only need "
                              "lung-scale precision)")
+    parser.add_argument("--classify", action="store_true",
+                        help="('seven' only) also train the task2 classifier "
+                             "and serve the full one-stop chain (lung seg + "
+                             "infection seg + per-slice classification, one "
+                             "jit, no GT)")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -65,11 +71,15 @@ def main(argv=None):
         extra["use_augmentation"] = args.use_augmentation
     if args.lung_dim is not None and token == "seven":
         extra["lung_dim"] = args.lung_dim
+    if args.classify and token == "seven":
+        extra["classify"] = True
     results = runner(data_dir=args.data_dir, out_dir=args.out_dir,
                      small_run=args.small_run, verbose=args.verbose,
                      cache_dir=args.cache_dir, **extra)
     keys = [k for k in ("val_dice", "best_dice", "best_iou", "best_threshold",
-                        "mean_fold_dice", "mean_fold_iou", "auc", "train_seconds")
+                        "mean_fold_dice", "mean_fold_iou", "auc", "train_seconds",
+                        "dice_chained", "dice_gt_boxes", "cls_auc",
+                        "cls_accuracy_at_0.5")
             if k in results]
     for k in keys:
         print(f"  {k}: {results[k]}")

@@ -92,10 +92,15 @@ def chained_infer(
 
 
 def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
-                  threshold, interpret, ccl_stride, lung_hw):
-    """The three chain stages, parameterized over the two model forwards so
-    the bf16 (``chained_infer``) and int8 (``serve_int8.chained_infer_int8``)
-    paths share one implementation."""
+                  threshold, interpret, ccl_stride, lung_hw, cls_apply=None):
+    """The chain stages, parameterized over the model forwards so the bf16
+    (``chained_infer``/``one_stop_infer``) and int8
+    (``serve_int8.chained_infer_int8``/``one_stop_infer_int8``) paths share
+    one implementation. With ``cls_apply`` the stage-3 input — which is
+    exactly the task2 classifier's training distribution (CLAHE'd two-lung
+    crop at ``model_hw``, ref ``task2_covid19_classifcation.py:413-418`` uses
+    the same three-pass arrays) — also feeds the classifier, and the return
+    gains a per-slice infection probability."""
     from onestop_tpu.ops.pipeline import serving_preproc
 
     b, h, w = raw_u8.shape
@@ -133,7 +138,55 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
                         pre_enhanced=True)
     probs = seg_apply(x)
     masks = probs if threshold is None else probs > threshold
-    return masks, b1, b2
+    if cls_apply is None:
+        return masks, b1, b2
+    cls_probs = cls_apply(x)[:, 0]                               # (B,) f32
+    return masks, cls_probs, b1, b2
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
+    "threshold", "interpret", "ccl_stride", "lung_hw"))
+def one_stop_infer(
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_variables,
+    cls_model,
+    cls_variables,
+    raw_u8: Array,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
+):
+    """The FULL one-stop chain the repository is named for: raw CT slices →
+    lung segmentation (stage 1) → predicted crop boxes (stage 2) → infection
+    segmentation AND infected/healthy classification on the same cropped
+    input (stage 3), one jit program, no ground truth anywhere.
+
+    Returns ``(masks, cls_probs, boxes1, boxes2)`` — ``cls_probs`` is the
+    task2 classifier's per-slice infection probability (B,) float32. The
+    classifier rides the infection U-Net's stage-3 input for free: both
+    consume the identical CLAHE'd two-lung crop (the reference trains task2
+    on the very arrays task1 segments, ``task2:413-418``), so the only added
+    cost is the ~1.7 M-param CNN forward — ~3% of one U-Net pass. The
+    reference has no equivalent: its three tasks are disconnected notebooks
+    that each require ground-truth lung masks to produce their inputs.
+
+    The classifier's Flatten→Dense head pins its input to the resolution it
+    was trained at — ``model_hw`` must match (224² for the reference
+    topology)."""
+    lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
+    seg_apply = lambda x: seg_model.apply(
+        seg_variables, x.astype(seg_model.dtype), train=False)
+    cls_apply = lambda x: cls_model.apply(
+        cls_variables, x.astype(cls_model.dtype), train=False)
+    return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
+                         lung_threshold, threshold, interpret, ccl_stride,
+                         lung_hw, cls_apply=cls_apply)
 
 
 def chained_infer_sharded(

@@ -677,7 +677,7 @@ def runner_lung_segmentation(
 def runner_production_chain(
     data_dir=None, out_dir=None, small_run=False, verbose=False,
     cache_dir=None, mesh=None, threshold=0.5, save_figures=True,
-    lung_dim=None, **kw
+    lung_dim=None, classify=False, **kw
 ):
     """CLI menu 'seven' — the chained no-ground-truth pipeline the
     reference's menu advertises but never implements (ref ``app.py:29``
@@ -690,7 +690,14 @@ def runner_production_chain(
     ``production.chained_infer`` (lung model → predicted boxes → CLAHE+crop →
     infection model) and the same serving chain with ground-truth lung boxes.
     Reports both dice scores and their delta — the cost of replacing the
-    reference's GT-leaky boxes with predicted ones."""
+    reference's GT-leaky boxes with predicted ones.
+
+    classify=True additionally trains the task2 classifier (on the standard
+    cropped classification dataset) and serves the full one-stop chain
+    (``production.one_stop_infer``): lung seg + infection seg + per-slice
+    infection classification in one jit program — the three reference tasks,
+    which its notebooks can only run disconnected and GT-fed, unified with
+    no ground truth at inference."""
     from onestop_tpu.data.ingest import _kernel_boxes, _kernel_mask, _to_u8
     from onestop_tpu.ops.pipeline import fused_infer
     from onestop_tpu.production import build_plain_lung_dataset, chained_infer
@@ -714,6 +721,11 @@ def runner_production_chain(
     pre = task1.preprocess
     out_path = _out(out_dir)
 
+    if classify and data_dir is None:
+        # synthetic fallback: balance infected/clean cases so the task2
+        # stratified split always has both classes (the 0.9 segmentation
+        # default can yield <2 negative slices on tiny smoke runs)
+        kw.setdefault("infected_fraction", 0.5)
     triples = list(_case_slice_triples(data_dir, pre, **kw))
     if len(triples) < 2:
         raise ValueError("production chain needs >=2 cases (train + held-out)")
@@ -741,6 +753,28 @@ def runner_production_chain(
     seg_res = _run_holdout_segmentation(
         seg_model, task1, xi, yi, out_dir, "unet_infection_for_chain",
         verbose=verbose, mesh=mesh, save_figures=save_figures)
+
+    # optional stage-3 passenger: the task2 classifier, trained on the
+    # standard cropped classification dataset (the same distribution the
+    # chain's stage-3 input reproduces with predicted boxes)
+    cls_res = cls_model = None
+    if classify:
+        task2 = C.task2_classification()
+        if small_run:
+            task2 = _small(task2, epochs=task1.train.epochs)
+        x_cls, y_cls = _maybe_cached(
+            lambda: build_classification_dataset(train_triples, task2.preprocess),
+            cache_dir, "chain_task2", task2.preprocess,
+            ("cts_cropped_lungs_224", "y_label"), source_key=src_key)
+        cls_kw = {"epochs": task1.train.epochs} if small_run else {}
+        cls_res = runner_classification(
+            data=(x_cls, y_cls), out_dir=out_dir, small_run=small_run,
+            verbose=verbose, mesh=mesh, save_figures=save_figures, **cls_kw)
+        m2 = task2.model
+        cls_model = ClassifierCNN(
+            widths=tuple(m2.cls_widths), dense=m2.cls_dense,
+            dropout=m2.cls_dropout, dtype=jnp.dtype(m2.compute_dtype),
+            bn_momentum=m2.bn_momentum, bn_epsilon=m2.bn_epsilon)
 
     def _vars(res):
         st = res["state"]
@@ -784,6 +818,29 @@ def runner_production_chain(
         "n_eval_slices": int(keep.sum()),
         "threshold": threshold,
     }
+    if classify:
+        from onestop_tpu.production import one_stop_infer
+
+        masks_os, cls_probs, _, _ = one_stop_infer(
+            lung_model, _vars(lung_res), seg_model, _vars(seg_res),
+            cls_model, _vars(cls_res), raw_u8,
+            model_hw=(d, d), threshold=threshold, interpret=interp,
+            lung_hw=lung_hw)
+        # sanity: the classifier must not perturb the segmentation stage
+        assert np.array_equal(np.asarray(masks_os), np.asarray(masks_chain))
+        # per-slice GT label = infection present anywhere on the raw slice
+        # (the reference's emptiness test, task2:413-418)
+        y_true = (np.asarray(inf_u8).reshape(len(inf_u8), -1) > 0).any(axis=1)
+        cls_probs = np.asarray(cls_probs, np.float64)
+        results["cls_accuracy_at_0.5"] = float(
+            ((cls_probs > 0.5) == y_true).mean())
+        results["cls_n_positive"] = int(y_true.sum())
+        if 0 < y_true.sum() < len(y_true):  # AUC needs both classes
+            from onestop_tpu.metrics.classification import roc_auc
+
+            results["cls_auc"] = float(roc_auc(y_true.astype(np.float32),
+                                               cls_probs))
+        results["cls_val_auc"] = cls_res["auc"]
     _save_json(out_path / "production_chain_report.json", results)
     if save_figures:
         from onestop_tpu.analysis import viz
@@ -800,7 +857,8 @@ def runner_production_chain(
             np.asarray(b1p[0]), np.asarray(b2p[0]),
             np.asarray(masks_chain[0, ..., 0]),
             path=out_path / "production_chain_gallery.png")
-    return {**results, "lung": lung_res, "infection": seg_res}
+    return {**results, "lung": lung_res, "infection": seg_res,
+            "classifier": cls_res}
 
 
 RUNNERS = {

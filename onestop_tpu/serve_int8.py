@@ -280,6 +280,43 @@ def chained_infer_int8(
                          lung_hw)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
+    "threshold", "interpret", "ccl_stride", "lung_hw"))
+def one_stop_infer_int8(
+    lung_model,
+    lung_q: dict,
+    lung_variables,
+    seg_model,
+    seg_q: dict,
+    seg_variables,
+    cls_model,
+    cls_q: dict,
+    cls_variables,
+    raw_u8: Array,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
+):
+    """``production.one_stop_infer`` (lung seg + infection seg +
+    classification, one jit, no GT) with all THREE models served int8 —
+    every family passes the round-3 quality gate (RESULTS.md int8 table;
+    the classifier's AUC is bit-identical under quantization there).
+    Returns ``(masks, cls_probs, boxes1, boxes2)``."""
+    from onestop_tpu.production import _chain_stages
+
+    lung_apply = lambda x: apply_int8_model(lung_model, lung_q,
+                                            lung_variables, x)
+    seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
+    cls_apply = lambda x: apply_int8_model(cls_model, cls_q, cls_variables, x)
+    return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
+                         lung_threshold, threshold, interpret, ccl_stride,
+                         lung_hw, cls_apply=cls_apply)
+
+
 @functools.partial(jax.jit, static_argnames=("out_hw", "threshold", "interpret"))
 def fused_infer_int8(
     q: dict,

@@ -159,3 +159,36 @@ def test_chained_infer_int8_end_to_end(rng):
                                       model_hw=(64, 64), threshold=0.5,
                                       interpret=True)
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
+
+
+def test_one_stop_infer_int8_end_to_end(rng):
+    """All three families int8 through the shared stage implementation: the
+    segmentation outputs must be bitwise identical to chained_infer_int8
+    (the classifier rides the same stage-3 input and cannot perturb it), and
+    the classification head emits valid per-slice probabilities."""
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.serve_int8 import (
+        chained_infer_int8, one_stop_infer_int8, quantize_model)
+
+    lung, vl = _trained_like_variables(rng)
+    seg, vs = _trained_like_variables(rng)
+    cls = ClassifierCNN(widths=(4, 8), dense=8)
+    vc = cls.init({"params": jax.random.PRNGKey(5)},
+                  jnp.zeros((1, 64, 64, 1)), train=False)
+    x_cal = jnp.asarray(rng.random((2, 64, 64, 1)), jnp.float32)
+    q_l = quantize_model(lung, vl, x_cal)
+    q_s = quantize_model(seg, vs, x_cal)
+    q_c = quantize_model(cls, vc, x_cal)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 128, 128), dtype=np.uint8))
+    kw = dict(model_hw=(64, 64), threshold=0.5, interpret=True)
+
+    ref_m, ref_b1, ref_b2 = chained_infer_int8(lung, q_l, vl, seg, q_s, vs,
+                                               imgs, **kw)
+    masks, probs, b1, b2 = one_stop_infer_int8(lung, q_l, vl, seg, q_s, vs,
+                                               cls, q_c, vc, imgs, **kw)
+    np.testing.assert_array_equal(np.asarray(ref_m), np.asarray(masks))
+    np.testing.assert_array_equal(np.asarray(ref_b1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(b2))
+    probs = np.asarray(probs)
+    assert probs.shape == (2,)
+    assert (probs >= 0).all() and (probs <= 1).all()

@@ -131,6 +131,44 @@ def test_build_plain_lung_dataset_shapes_and_range():
     assert (np.asarray(y) > 0.5).mean() > 0.01
 
 
+def test_one_stop_infer_masks_match_chain_and_probs_valid(rng):
+    """one_stop_infer = chained_infer + classifier on the SAME stage-3 input:
+    segmentation outputs must be bitwise identical to the plain chain, and
+    the added classification probabilities must be valid per-slice sigmoids.
+    """
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.production import one_stop_infer
+
+    lung, vl, seg, vs = _models()
+    cls = ClassifierCNN(widths=(4, 8), dense=8)
+    vc = cls.init({"params": jax.random.PRNGKey(2)},
+                  jnp.zeros((1, 64, 64, 1)), train=False)
+    imgs = jnp.asarray(rng.integers(0, 256, (3, 128, 128), dtype=np.uint8))
+    kw = dict(model_hw=(64, 64), threshold=0.5, interpret=_INTERPRET)
+
+    ref_m, ref_b1, ref_b2 = chained_infer(lung, vl, seg, vs, imgs, **kw)
+    masks, probs, b1, b2 = one_stop_infer(lung, vl, seg, vs, cls, vc,
+                                          imgs, **kw)
+    np.testing.assert_array_equal(np.asarray(ref_m), np.asarray(masks))
+    np.testing.assert_array_equal(np.asarray(ref_b1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(b2))
+    probs = np.asarray(probs)
+    assert probs.shape == (3,) and probs.dtype == np.float32
+    assert (probs >= 0).all() and (probs <= 1).all()
+
+    # determinism
+    _, probs2, _, _ = one_stop_infer(lung, vl, seg, vs, cls, vc, imgs, **kw)
+    np.testing.assert_array_equal(probs, np.asarray(probs2))
+
+    # the classifier consumed the chain's stage-3 crop: reproduce it from
+    # the chain's own boxes and check the probability agrees
+    from onestop_tpu.ops.pipeline import serving_preproc
+
+    x3 = serving_preproc(imgs, b1, b2, (64, 64), interpret=_INTERPRET)
+    direct = np.asarray(cls.apply(vc, x3, train=False))[:, 0]
+    np.testing.assert_allclose(probs, direct, atol=1e-6)
+
+
 def test_chained_infer_sharded_matches_single_device(rng):
     """Data-parallel no-GT chain over the 8-device virtual mesh must equal
     the single-device chain exactly (pure DP, replicated weights)."""

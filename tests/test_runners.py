@@ -121,3 +121,20 @@ def test_production_chain_runner(tmp_path):
     assert res["n_eval_slices"] > 0
     assert (tmp_path / "production_chain_report.json").exists()
     assert (tmp_path / "production_chain_gallery.png").exists()
+
+
+def test_production_chain_runner_one_stop_classify(tmp_path):
+    """Menu 'seven' --classify: the full one-stop chain (lung seg +
+    infection seg + classification) trains all three models and reports the
+    chain's classification quality on the held-out case."""
+    res = R.runner_production_chain(out_dir=tmp_path, small_run=True,
+                                    classify=True, n_synthetic=3,
+                                    synth_hw=128, synth_slices=10)
+    assert 0 <= res["dice_chained"] <= 1
+    assert 0 <= res["cls_accuracy_at_0.5"] <= 1
+    assert res["classifier"] is not None
+    assert 0 <= res["cls_val_auc"] <= 1
+    # the classifier rode the chain without perturbing segmentation (the
+    # runner asserts mask equality internally); its own report also exists
+    assert (tmp_path / "production_chain_report.json").exists()
+    assert (tmp_path / "classification_report.json").exists()
