@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve the U-Net with s8xs8->s32 convs (opt-in; "
                          "quality deltas in RESULTS.md)")
+    ap.add_argument("--no-extras", action="store_true",
+                    help="headline number only: skip the chained/int8 "
+                         "companion measurements the default run appends "
+                         "as extra JSON keys")
     args = ap.parse_args()
 
     import jax
@@ -177,6 +181,36 @@ def main():
     assert all(np.isfinite(1.0 * c) for c in checks)
 
     slices_per_sec = total * args.iters / dt
+
+    # companion measurements: the default run also reports the deployable
+    # no-GT chain (lung U-Net -> CCL boxes -> crop -> infection U-Net) and
+    # the int8 paths, so the recorded bench line carries every serving mode.
+    # Each runs as a time-bounded subprocess (compile-cached within the
+    # session) and any failure or timeout just drops that key — the headline
+    # line always prints.
+    extras = {}
+    if not (args.chained or args.int8 or args.no_extras or interpret):
+        import subprocess
+
+        budget_s, spent = 1500.0, 0.0
+        for name, flags in (("chained_noGT", ["--chained"]),
+                            ("chained_noGT_int8", ["--chained", "--int8"]),
+                            ("int8", ["--int8"])):
+            if spent > budget_s:
+                break
+            t0 = time.perf_counter()
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), *flags,
+                     "--no-extras", "--total", str(args.total),
+                     "--chunk", str(args.chunk), "--iters", str(args.iters)],
+                    capture_output=True, text=True, timeout=900)
+                line = json.loads(proc.stdout.strip().splitlines()[-1])
+                extras[f"{name}_slices_per_sec"] = line["value"]
+            except Exception:
+                pass
+            spent += time.perf_counter() - t0
+
     print(json.dumps({
         "metric": metric,
         "value": round(slices_per_sec, 1),
@@ -186,6 +220,7 @@ def main():
         "batch": total,
         "chunk": chunk,
         "model_hw": args.out_hw,
+        **extras,
     }))
     return 0
 

@@ -218,6 +218,34 @@ def chained_infer_sharded(
                      check_rep=False)(raw_u8)
 
 
+def one_stop_infer_sharded(
+    mesh,
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_variables,
+    cls_model,
+    cls_variables,
+    raw_u8: Array,
+    axis: str = "data",
+    **kw,
+):
+    """Data-parallel one-stop chain (lung seg + infection seg +
+    classification) over a device mesh — ``chained_infer_sharded`` with the
+    classifier riding stage 3. Returns ``(masks, cls_probs, boxes1, boxes2)``
+    with every output sharded over ``axis``."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x):
+        return one_stop_infer(lung_model, lung_variables, seg_model,
+                              seg_variables, cls_model, cls_variables, x, **kw)
+
+    return shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=(P(axis), P(axis), P(axis), P(axis)),
+                     check_rep=False)(raw_u8)
+
+
 @functools.partial(jax.jit, static_argnames=("new_dim", "use_pallas"))
 def _kernel_enhance_resize(u8, new_dim, use_pallas=False):
     """CLAHE + plain INTER_AREA resize for the full-frame lung pairs."""

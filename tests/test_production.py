@@ -186,3 +186,31 @@ def test_chained_infer_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(np.asarray(ref_m), np.asarray(got_m))
     np.testing.assert_array_equal(np.asarray(ref_b1), np.asarray(got_b1))
     np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(got_b2))
+
+
+def test_one_stop_infer_sharded_matches_single_device(rng):
+    """DP one-stop chain over the 8-device virtual mesh == single-device
+    one-stop chain exactly (pure DP, replicated weights)."""
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.parallel.mesh import make_mesh
+    from onestop_tpu.production import one_stop_infer, one_stop_infer_sharded
+
+    mesh = make_mesh()
+    lung, vl, seg, vs = _models()
+    cls = ClassifierCNN(widths=(4, 8), dense=8)
+    vc = cls.init({"params": jax.random.PRNGKey(2)},
+                  jnp.zeros((1, 64, 64, 1)), train=False)
+    n = int(np.prod(mesh.devices.shape))
+    imgs = jnp.asarray(rng.integers(0, 256, (n, 128, 128), dtype=np.uint8))
+    kw = dict(model_hw=(64, 64), threshold=0.5, interpret=_INTERPRET)
+    ref = one_stop_infer(lung, vl, seg, vs, cls, vc, imgs, **kw)
+    got = one_stop_infer_sharded(mesh, lung, vl, seg, vs, cls, vc, imgs, **kw)
+    ref_m, ref_p, ref_b1, ref_b2 = ref
+    got_m, got_p, got_b1, got_b2 = got
+    np.testing.assert_array_equal(np.asarray(ref_m), np.asarray(got_m))
+    np.testing.assert_array_equal(np.asarray(ref_b1), np.asarray(got_b1))
+    np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(got_b2))
+    # the classifier's dense matmul lowers with different reduction tiling at
+    # per-shard batch 1 vs batch 8 — probabilities agree to float32 ulps only
+    np.testing.assert_allclose(np.asarray(ref_p), np.asarray(got_p),
+                               rtol=0, atol=1e-5)
