@@ -169,10 +169,14 @@ def one_stop_infer(
 
     Returns ``(masks, cls_probs, boxes1, boxes2)`` — ``cls_probs`` is the
     task2 classifier's per-slice infection probability (B,) float32. The
-    classifier rides the infection U-Net's stage-3 input for free: both
-    consume the identical CLAHE'd two-lung crop (the reference trains task2
-    on the very arrays task1 segments, ``task2:413-418``), so the only added
-    cost is the ~1.7 M-param CNN forward — ~3% of one U-Net pass. The
+    classifier rides the infection U-Net's stage-3 input with no extra
+    preprocessing: both consume the identical CLAHE'd two-lung crop (the
+    reference trains task2 on the very arrays task1 segments,
+    ``task2:413-418``), so the only added cost is the ~1.7 M-param CNN
+    forward — ~3% of the chain's FLOPs but a measured 18.7% of its
+    wall-clock (scripts/profile_one_stop.py: 160.7 → 190.8 ms per 256
+    slices; the 16-channel stage-0/1 convs sit at the same C<128 lane
+    ceiling the decoder study proved structural). The
     reference has no equivalent: its three tasks are disconnected notebooks
     that each require ground-truth lung masks to produce their inputs.
 
