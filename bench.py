@@ -53,11 +53,17 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve the U-Net with s8xs8->s32 convs (opt-in; "
                          "quality deltas in RESULTS.md)")
+    ap.add_argument("--one-stop", action="store_true",
+                    help="with --chained: serve the FULL one-stop chain "
+                         "(lung seg + infection seg + classification in one "
+                         "jit, production.one_stop_infer)")
     ap.add_argument("--no-extras", action="store_true",
                     help="headline number only: skip the chained/int8 "
                          "companion measurements the default run appends "
                          "as extra JSON keys")
     args = ap.parse_args()
+    if args.one_stop:
+        args.chained = True  # one-stop IS the chained pipeline + classifier
 
     import jax
     import jax.numpy as jnp
@@ -110,23 +116,52 @@ def main():
         # the deployable no-GT chain: lung U-Net -> CCL boxes -> infection
         # U-Net (onestop_tpu.production.chained_infer); box inputs unused.
         # --chained --int8 serves BOTH U-Nets int8 (chained_infer_int8)
-        from onestop_tpu.production import chained_infer
+        from onestop_tpu.production import chained_infer, one_stop_infer
 
         lung_vars = model.init({"params": jax.random.PRNGKey(1)},
                                jnp.zeros((1, o, o, 1)), train=False)
+        cls_model = cls_vars = None
+        if args.one_stop:
+            # the full one-stop: the task2 classifier rides the stage-3 crop
+            # (probs kept in the output so XLA cannot dead-code it away)
+            from onestop_tpu.models import ClassifierCNN
+
+            cls_model = ClassifierCNN(dtype=jnp.bfloat16)
+            cls_vars = cls_model.init({"params": jax.random.PRNGKey(2)},
+                                      jnp.zeros((1, o, o, 1)), train=False)
         if args.int8:
-            from onestop_tpu.serve_int8 import chained_infer_int8, quantize_model
+            from onestop_tpu.serve_int8 import (
+                chained_infer_int8, one_stop_infer_int8, quantize_model)
 
             x_cal = jnp.asarray(rng.random((8, o, o, 1)), jnp.float32)
             q_seg = quantize_model(model, variables, x_cal)
             q_lung = quantize_model(model, lung_vars, x_cal)
-            metric = f"chained_noGT_int8_2xunet_{args.in_hw}px_slices"
+            if args.one_stop:
+                q_cls = quantize_model(cls_model, cls_vars, x_cal)
+                metric = f"one_stop_int8_2xunet+cls_{args.in_hw}px_slices"
+
+                def one_chunk(xc):
+                    masks, probs, _, _ = one_stop_infer_int8(
+                        model, q_lung, lung_vars, model, q_seg, variables,
+                        cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
+                        threshold=0.5, interpret=interpret)
+                    return masks, probs
+            else:
+                metric = f"chained_noGT_int8_2xunet_{args.in_hw}px_slices"
+
+                def one_chunk(xc):
+                    masks, _, _ = chained_infer_int8(
+                        model, q_lung, lung_vars, model, q_seg, variables, xc,
+                        model_hw=(o, o), threshold=0.5, interpret=interpret)
+                    return masks
+        elif args.one_stop:
+            metric = f"one_stop_preproc+2xunet+cls_{args.in_hw}px_slices"
 
             def one_chunk(xc):
-                masks, _, _ = chained_infer_int8(
-                    model, q_lung, lung_vars, model, q_seg, variables, xc,
-                    model_hw=(o, o), threshold=0.5, interpret=interpret)
-                return masks
+                masks, probs, _, _ = one_stop_infer(
+                    model, lung_vars, model, variables, cls_model, cls_vars,
+                    xc, model_hw=(o, o), threshold=0.5, interpret=interpret)
+                return masks, probs
         else:
             metric = f"chained_noGT_preproc+2xunet_{args.in_hw}px_slices"
 
@@ -171,12 +206,15 @@ def main():
                                      bb1.reshape(n_chunks, chunk, 4),
                                      bb2.reshape(n_chunks, chunk, 4)))
 
-    out = run(bufs[0], b1_d, b2_d)
-    _ = np.asarray(out.ravel()[0])  # warm compile + drain
+    def _force(out):  # one-pixel fetch per output leaf: forces + verifies
+        return [np.asarray(leaf.ravel()[0])
+                for leaf in jax.tree_util.tree_leaves(out)]
+
+    _force(run(bufs[0], b1_d, b2_d))  # warm compile + drain
 
     t0 = time.perf_counter()
     outs = [run(x, b1_d, b2_d) for x in bufs]
-    checks = [np.asarray(oo.ravel()[0]) for oo in outs]  # forces every execution
+    checks = [c for oo in outs for c in _force(oo)]  # forces every execution
     dt = time.perf_counter() - t0
     assert all(np.isfinite(1.0 * c) for c in checks)
 
