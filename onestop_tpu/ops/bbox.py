@@ -175,6 +175,63 @@ def component_bboxes(labels: Array, k: int = 2):
     return boxes, top_sizes
 
 
+@functools.partial(jax.jit, static_argnames=("raw_hw",))
+def refine_boxes_bilinear(
+    probs: Array,               # (B, lh, lw) f32 lung probabilities
+    boxes: Array,               # (B, k, 4) float (x, y, w, h), PROB-grid coords
+    threshold: float | Array,
+    raw_hw: tuple[int, int],
+    margin: float = 1.5,
+) -> Array:
+    """Sub-grid box refinement from the probability field itself.
+
+    Coarse connected-component boxes are quantized to the grid they were
+    labeled on: with a 112² lung stage and 512² raw slices every box edge
+    carries ±4.6 raw px of quantization (×``ccl_stride`` more when labeling
+    runs on a pooled mask) — measured as a −0.04 chained-dice cost at
+    ``lung_dim=112`` (artifacts_tpu/round3_chain_lowres.json). But the model
+    emits a *continuous* probability field, and the mask's threshold crossing
+    lies between grid-pixel centers: bilinearly upsampling ``probs`` to
+    ``raw_hw`` and re-reducing min/max extents inside each coarse box
+    recovers the crossing at raw-pixel precision. One (lh→H, lw→W) matmul
+    resize shared by all k boxes + two masked iota reductions per box — no
+    extra CCL.
+
+    Each input box is expanded by ``margin`` prob-grid px before restricting
+    (the crossing can sit up to one grid cell outside the on-pixel bbox, and
+    pooled coarse boxes already cover the exact ones). Empty restrictions
+    fall back to the plain-scaled coarse box. Returns (B, k, 4) float32 boxes
+    in raw coordinates.
+    """
+    lh, lw = probs.shape[-2:]
+    hh, ww = raw_hw
+    sy, sx = hh / lh, ww / lw
+    from onestop_tpu.ops.resize import resize2d
+
+    up = resize2d(probs.astype(jnp.float32), raw_hw, "linear")   # (B, H, W)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+
+    def one(upimg, box):
+        x, y, w, h = box[0], box[1], box[2], box[3]
+        rx0 = (x - margin) * sx
+        ry0 = (y - margin) * sy
+        rx1 = (x + w + margin) * sx
+        ry1 = (y + h + margin) * sy
+        inside = ((rows >= ry0) & (rows < ry1) & (cols >= rx0) & (cols < rx1))
+        m = (upimg > threshold) & inside
+        big = jnp.int32(hh + ww)
+        y0 = jnp.min(jnp.where(m, rows, big))
+        y1 = jnp.max(jnp.where(m, rows, -1))
+        x0 = jnp.min(jnp.where(m, cols, big))
+        x1 = jnp.max(jnp.where(m, cols, -1))
+        refined = jnp.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1]).astype(jnp.float32)
+        fallback = jnp.stack([x * sx, y * sy, w * sx, h * sy])
+        return jnp.where(jnp.any(m), refined, fallback)
+
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0)))(up, boxes)
+
+
 def two_lung_bboxes(mask: Array):
     """(x, y, w, h) boxes of the two largest components of a binary lung
     mask — the reference cropper's cnt1/cnt2 rects (``holdout.py:219-247``)."""

@@ -44,7 +44,7 @@ Array = jax.Array
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
-    "interpret", "ccl_stride", "lung_hw"))
+    "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
 def chained_infer(
     lung_model,
     lung_variables,
@@ -57,6 +57,7 @@ def chained_infer(
     interpret: bool = False,
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
 ):
     """Full no-ground-truth chain. Returns (masks, boxes1, boxes2):
     masks (B, oh, ow, 1) — bool if ``threshold`` given, else probabilities —
@@ -82,17 +83,24 @@ def chained_infer(
     ``lung_hw``: resolution of the stage-1 lung pass (default ``model_hw``).
     Boxes only need lung-scale precision, so the lung U-Net can run at e.g.
     112² for ~4× fewer stage-1 FLOPs — the lung model must then be TRAINED
-    at that resolution (``runner_production_chain(lung_dim=112)``)."""
+    at that resolution (``runner_production_chain(lung_dim=112)``).
+
+    ``refine_boxes``: re-derive every box edge from the bilinearly-upsampled
+    lung probability field at raw-pixel precision
+    (``ops.bbox.refine_boxes_bilinear``), removing both the ``ccl_stride``
+    and the ``lung_hw`` grid quantization from the crop frame for the cost
+    of one lh→raw matmul resize + masked reductions."""
     lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
     seg_apply = lambda x: seg_model.apply(
         seg_variables, x.astype(seg_model.dtype), train=False)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
-                         lung_hw)
+                         lung_hw, refine_boxes=refine_boxes)
 
 
 def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
-                  threshold, interpret, ccl_stride, lung_hw, cls_apply=None):
+                  threshold, interpret, ccl_stride, lung_hw, cls_apply=None,
+                  refine_boxes=True):
     """The chain stages, parameterized over the model forwards so the bf16
     (``chained_infer``/``one_stop_infer``) and int8
     (``serve_int8.chained_infer_int8``/``one_stop_infer_int8``) paths share
@@ -127,11 +135,24 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
         # side and never leaving the lung frame
         b1 = b1 * s
         b2 = b2 * s
-    sy = h / lung_hw[0]
-    sx = w / lung_hw[1]
-    scale = jnp.array([sx, sy, sx, sy], jnp.float32)             # (x, y, w, h)
-    b1 = b1 * scale
-    b2 = b2 * scale
+    if refine_boxes:
+        from onestop_tpu.ops.bbox import refine_boxes_bilinear
+
+        # re-derive every edge from the continuous probability field at raw
+        # resolution: one shared (lh→H, lw→W) bilinear matmul resize + masked
+        # iota reductions inside each (margin-expanded) coarse box — removes
+        # the lung-grid AND ccl_stride quantization from the crop frame
+        refined = refine_boxes_bilinear(
+            lung_probs[..., 0].astype(jnp.float32),
+            jnp.stack([b1, b2], axis=1), lung_threshold, (h, w),
+            margin=1.0 + s)
+        b1, b2 = refined[:, 0], refined[:, 1]
+    else:
+        sy = h / lung_hw[0]
+        sx = w / lung_hw[1]
+        scale = jnp.array([sx, sy, sx, sy], jnp.float32)         # (x, y, w, h)
+        b1 = b1 * scale
+        b2 = b2 * scale
 
     # stage 3: the task1 serving chain with predicted boxes (CLAHE reused)
     x = serving_preproc(enhanced, b1, b2, model_hw, interpret=interpret,
@@ -146,7 +167,7 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
-    "threshold", "interpret", "ccl_stride", "lung_hw"))
+    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
 def one_stop_infer(
     lung_model,
     lung_variables,
@@ -161,6 +182,7 @@ def one_stop_infer(
     interpret: bool = False,
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
 ):
     """The FULL one-stop chain the repository is named for: raw CT slices →
     lung segmentation (stage 1) → predicted crop boxes (stage 2) → infection
@@ -190,7 +212,8 @@ def one_stop_infer(
         cls_variables, x.astype(cls_model.dtype), train=False)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
-                         lung_hw, cls_apply=cls_apply)
+                         lung_hw, cls_apply=cls_apply,
+                         refine_boxes=refine_boxes)
 
 
 def chained_infer_sharded(

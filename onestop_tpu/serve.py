@@ -1,0 +1,367 @@
+"""Volume-level serving runtime: ``.nii``/``.nii.gz`` files in → per-volume
+one-stop reports out, with host IO overlapped against TPU compute.
+
+The reference has no deployment story at all — its "serving" is a notebook
+cell calling ``model.predict`` on arrays that required ground-truth lung
+masks to build (SURVEY.md §8 Q2). This module is the production front end
+over the no-GT chain (``production.chained_infer`` /
+``production.one_stop_infer``): a prefetching pipeline in which the native
+C++ NIfTI loader (``data/native.py``, thread pool) decodes + windows +
+resizes volume i+1 on the host while the TPU runs the chain on volume i.
+
+TPU-first structure:
+
+- **Static shapes everywhere.** Volumes have ragged slice counts, so each
+  volume is chunked into fixed ``block``-slice batches (last block
+  zero-padded, padding stripped after fetch) — every block of every volume
+  reuses ONE compiled chain program.
+- **Async dispatch as the second pipeline stage.** JAX dispatch returns
+  before the TPU finishes; all of a volume's blocks are dispatched before
+  the first fetch, so the device queue stays full while the host decodes
+  the next volume.
+- **Device-side summaries.** Masks are reduced to per-slice infected-pixel
+  fractions on device; unless ``keep_masks`` is set, only O(slices) scalars
+  cross the host link (a remote-tunnel full-mask fetch costs ~300 ms).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from onestop_tpu.data.ingest import _to_u8, load_slices
+from onestop_tpu.data.native import load_fdata_any
+
+__all__ = ["VolumeReport", "serve_volumes", "serve_directory"]
+
+
+@dataclasses.dataclass
+class VolumeReport:
+    """Per-volume output of ``serve_volumes``."""
+
+    path: str
+    n_slices: int                      # windowed slices actually served
+    boxes1: np.ndarray                 # (S, 4) float32 raw-coord (x, y, w, h)
+    boxes2: np.ndarray                 # (S, 4)
+    infection_fraction: np.ndarray     # (S,) mean predicted-infected fraction
+    cls_probs: np.ndarray | None       # (S,) classifier p(infected), if cls model
+    masks: np.ndarray | None           # (S, oh, ow) bool, only if keep_masks
+    load_seconds: float                # host decode+window+resize wall time
+    compute_seconds: float             # dispatch→fetch wall time for the volume
+
+    def summary(self, cls_threshold: float = 0.5) -> dict:
+        """JSON-friendly one-stop summary."""
+        out = {
+            "path": self.path,
+            "n_slices": self.n_slices,
+            "mean_infection_fraction": float(self.infection_fraction.mean()),
+            "max_infection_fraction": float(self.infection_fraction.max()),
+            "load_seconds": round(self.load_seconds, 4),
+            "compute_seconds": round(self.compute_seconds, 4),
+        }
+        if self.cls_probs is not None:
+            out["infected_slices"] = int((self.cls_probs > cls_threshold).sum())
+            out["max_cls_prob"] = float(self.cls_probs.max())
+        return out
+
+
+def _prepare_volume(path, img_size, slice_lo, slice_hi):
+    """Host stage: native (or Python) NIfTI decode → rot90/window/512²
+    resize/min-max normalize (``data.ingest.load_slices``) → reference
+    ``np.uint8(img*255)`` truncation. Runs on the loader thread pool."""
+    t0 = time.perf_counter()
+    sl = load_slices(load_fdata_any(path), img_size, slice_lo, slice_hi)
+    return _to_u8(sl), time.perf_counter() - t0
+
+
+def serve_volumes(
+    paths,
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_variables,
+    cls_model=None,
+    cls_variables=None,
+    *,
+    quant: dict | None = None,
+    img_size: int = 512,
+    slice_lo: float = 0.2,
+    slice_hi: float = 0.8,
+    block: int = 64,
+    prefetch: int = 2,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float = 0.5,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
+    keep_masks: bool = False,
+    interpret: bool = False,
+):
+    """Serve CT volumes through the no-GT chain; yields ``VolumeReport`` per
+    path, in input order.
+
+    With ``cls_model`` the full one-stop chain runs (lung seg → boxes →
+    infection seg + per-slice classification); without it, the two-model
+    chain. ``quant`` switches every model to the int8 path: a dict with keys
+    ``"lung"``/``"seg"`` (and ``"cls"`` when classifying) holding
+    ``serve_int8.quantize_model`` outputs.
+
+    ``block`` is the static slice-batch size (compile-shape granularity);
+    ``prefetch`` is how many volumes the host loader runs ahead.
+    """
+    with_cls = cls_model is not None
+    if quant is not None:
+        from onestop_tpu.serve_int8 import chained_infer_int8, one_stop_infer_int8
+
+        if with_cls:
+            infer = lambda x: one_stop_infer_int8(
+                lung_model, quant["lung"], lung_variables,
+                seg_model, quant["seg"], seg_variables,
+                cls_model, quant["cls"], cls_variables, x,
+                model_hw=model_hw, lung_threshold=lung_threshold,
+                threshold=threshold, interpret=interpret,
+                ccl_stride=ccl_stride, lung_hw=lung_hw,
+                refine_boxes=refine_boxes)
+        else:
+            infer = lambda x: chained_infer_int8(
+                lung_model, quant["lung"], lung_variables,
+                seg_model, quant["seg"], seg_variables, x,
+                model_hw=model_hw, lung_threshold=lung_threshold,
+                threshold=threshold, interpret=interpret,
+                ccl_stride=ccl_stride, lung_hw=lung_hw,
+                refine_boxes=refine_boxes)
+    else:
+        from onestop_tpu.production import chained_infer, one_stop_infer
+
+        if with_cls:
+            infer = lambda x: one_stop_infer(
+                lung_model, lung_variables, seg_model, seg_variables,
+                cls_model, cls_variables, x,
+                model_hw=model_hw, lung_threshold=lung_threshold,
+                threshold=threshold, interpret=interpret,
+                ccl_stride=ccl_stride, lung_hw=lung_hw,
+                refine_boxes=refine_boxes)
+        else:
+            infer = lambda x: chained_infer(
+                lung_model, lung_variables, seg_model, seg_variables, x,
+                model_hw=model_hw, lung_threshold=lung_threshold,
+                threshold=threshold, interpret=interpret,
+                ccl_stride=ccl_stride, lung_hw=lung_hw,
+                refine_boxes=refine_boxes)
+
+    frac = jax.jit(lambda m: jnp.mean(m.astype(jnp.float32), axis=(1, 2, 3)))
+
+    paths = [str(p) for p in paths]
+    it = iter(paths)
+    pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
+    pending: deque = deque()
+
+    def _submit():
+        p = next(it, None)
+        if p is not None:
+            pending.append((p, pool.submit(
+                _prepare_volume, p, img_size, slice_lo, slice_hi)))
+
+    try:
+        for _ in range(max(1, prefetch)):
+            _submit()
+        while pending:
+            path, fut = pending.popleft()
+            u8, load_s = fut.result()
+            _submit()                       # keep the loader pipeline full
+            t0 = time.perf_counter()
+            n = len(u8)
+            n_blocks = max(1, -(-n // block))
+            pad = n_blocks * block - n
+            if pad:
+                u8 = np.concatenate(
+                    [u8, np.zeros((pad,) + u8.shape[1:], np.uint8)])
+            # dispatch ALL blocks before the first fetch: the device queue
+            # stays full while the loader thread decodes the next volume
+            outs = []
+            for i in range(n_blocks):
+                x = jnp.asarray(u8[i * block:(i + 1) * block])
+                res = infer(x)
+                if with_cls:
+                    masks, cls_p, b1, b2 = res
+                else:
+                    masks, b1, b2 = res
+                    cls_p = None
+                outs.append((masks, frac(masks), cls_p, b1, b2))
+            fr = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+            b1 = np.concatenate([np.asarray(o[3]) for o in outs])[:n]
+            b2 = np.concatenate([np.asarray(o[4]) for o in outs])[:n]
+            cls_p = (np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+                     if with_cls else None)
+            masks = (np.concatenate(
+                [np.asarray(o[0])[..., 0] for o in outs])[:n]
+                if keep_masks else None)
+            yield VolumeReport(
+                path=path, n_slices=n, boxes1=b1, boxes2=b2,
+                infection_fraction=fr, cls_probs=cls_p, masks=masks,
+                load_seconds=load_s,
+                compute_seconds=time.perf_counter() - t0)
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
+
+
+def serve_directory(data_dir, *models_and_vars, column: str = "ct_scan", **kw):
+    """Serve every ``column`` volume listed in a Kaggle-layout
+    ``metadata.csv`` (ref ``holdout.py:135-137``) through ``serve_volumes``."""
+    from onestop_tpu.data.acquire import load_metadata
+
+    paths = [row[column] for row in load_metadata(data_dir)]
+    return serve_volumes(paths, *models_and_vars, **kw)
+
+
+def calibrate_quant(
+    u8_slices,
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_variables,
+    cls_model=None,
+    cls_variables=None,
+    *,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_hw: tuple[int, int] | None = None,
+    ccl_stride: int = 2,
+    refine_boxes: bool = True,
+    interpret: bool = False,
+    n_cal: int = 8,
+):
+    """Build the int8 ``quant`` dict for ``serve_volumes``, calibrated on
+    REAL stage inputs derived from a sample of actual slices: the bf16 chain
+    supplies the crop boxes, so the seg/cls calibration batch has the exact
+    serving distribution (CLAHE'd two-lung crops), and the lung calibration
+    batch the full-frame resize. Random-uniform calibration also passes the
+    quality gate (bench.py), but real activations tighten the scales."""
+    from onestop_tpu.ops.clahe_pallas import clahe_fused
+    from onestop_tpu.ops.pipeline import serving_preproc
+    from onestop_tpu.ops.resize import resize2d
+    from onestop_tpu.production import chained_infer
+    from onestop_tpu.serve_int8 import quantize_model
+
+    u8 = jnp.asarray(np.asarray(u8_slices)[:n_cal])
+    lh = model_hw if lung_hw is None else lung_hw
+    enhanced = clahe_fused(u8, interpret=interpret)
+    x_lung = (resize2d(enhanced.astype(jnp.float32), lh, "area") / 255.0)[..., None]
+    _, b1, b2 = chained_infer(
+        lung_model, lung_variables, seg_model, seg_variables, u8,
+        model_hw=model_hw, threshold=0.5, interpret=interpret,
+        ccl_stride=ccl_stride, lung_hw=lung_hw, refine_boxes=refine_boxes)
+    x_seg = serving_preproc(enhanced, b1, b2, model_hw, interpret=interpret,
+                            pre_enhanced=True)
+    quant = {"lung": quantize_model(lung_model, lung_variables, x_lung),
+             "seg": quantize_model(seg_model, seg_variables, x_seg)}
+    if cls_model is not None:
+        quant["cls"] = quantize_model(cls_model, cls_variables, x_seg)
+    return quant
+
+
+def _load_vars(model, path, in_hw):
+    from onestop_tpu.train.checkpoint import load_checkpoint
+
+    tmpl = model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros((1,) + tuple(in_hw) + (1,), jnp.float32),
+                      train=False)
+    params, bstats = load_checkpoint(path, tmpl["params"],
+                                     tmpl.get("batch_stats", {}))
+    return {"params": params, "batch_stats": bstats}
+
+
+def main(argv=None):
+    """``python -m onestop_tpu.serve`` — deploy trained checkpoints as a
+    volume-serving pipeline. Prints one JSON summary line per volume (and
+    optionally appends them to ``--out`` as JSONL)."""
+    import argparse
+
+    from onestop_tpu import config as C
+    from onestop_tpu.models import ClassifierCNN, UNet
+
+    p = argparse.ArgumentParser(
+        description="onestop_tpu volume server: NIfTI CT volumes -> "
+                    "lung+infection masks (+classification), no ground truth")
+    p.add_argument("volumes", nargs="*", help=".nii/.nii.gz CT volume paths")
+    p.add_argument("--data-dir", default=None,
+                   help="Kaggle-layout dir: serve every metadata.csv ct_scan")
+    p.add_argument("--lung", required=True, help="lung U-Net checkpoint (.msgpack)")
+    p.add_argument("--seg", required=True, help="infection U-Net checkpoint")
+    p.add_argument("--cls", default=None, help="classifier checkpoint (optional)")
+    p.add_argument("--lung-dim", type=int, default=None,
+                   help="stage-1 lung resolution (checkpoint must be trained at it)")
+    p.add_argument("--int8", action="store_true",
+                   help="serve all models int8 (calibrated on the first volume)")
+    p.add_argument("--block", type=int, default=64)
+    p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--no-refine-boxes", action="store_true")
+    p.add_argument("--out", default=None, help="append JSONL summaries here")
+    args = p.parse_args(argv)
+
+    task1, task3 = C.task1_holdout(), C.task3_lung()
+    d = task1.preprocess.new_dim
+    lung_dim = args.lung_dim or d
+    m = task1.model
+    # serving builds stem-off (inference-fastest; param tree identical to
+    # the stem-on training builds, see runners._build_unet)
+    lung_model = UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
+                      dtype=jnp.bfloat16)
+    seg_model = UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
+                     dtype=jnp.bfloat16)
+    lung_vars = _load_vars(lung_model, args.lung, (lung_dim, lung_dim))
+    seg_vars = _load_vars(seg_model, args.seg, (d, d))
+    cls_model = cls_vars = None
+    if args.cls:
+        mc = C.task2_classification().model
+        cls_model = ClassifierCNN(widths=tuple(mc.cls_widths),
+                                  dense=mc.cls_dense, dtype=jnp.bfloat16)
+        cls_vars = _load_vars(cls_model, args.cls, (d, d))
+
+    if args.data_dir:
+        from onestop_tpu.data.acquire import load_metadata
+        paths = [row["ct_scan"] for row in load_metadata(args.data_dir)]
+    else:
+        paths = args.volumes
+    if not paths:
+        p.error("no volumes: pass paths or --data-dir")
+
+    kw = dict(model_hw=(d, d), block=args.block, prefetch=args.prefetch,
+              threshold=args.threshold,
+              lung_hw=None if lung_dim == d else (lung_dim, lung_dim),
+              refine_boxes=not args.no_refine_boxes,
+              img_size=task1.preprocess.img_size)
+    quant = None
+    if args.int8:
+        first, _ = _prepare_volume(paths[0], task1.preprocess.img_size,
+                                   task1.preprocess.slice_lo,
+                                   task1.preprocess.slice_hi)
+        quant = calibrate_quant(first, lung_model, lung_vars, seg_model,
+                                seg_vars, cls_model, cls_vars,
+                                model_hw=(d, d), lung_hw=kw["lung_hw"],
+                                refine_boxes=kw["refine_boxes"])
+
+    import json as _json
+    sink = open(args.out, "a") if args.out else None
+    try:
+        for report in serve_volumes(paths, lung_model, lung_vars, seg_model,
+                                    seg_vars, cls_model, cls_vars,
+                                    quant=quant, **kw):
+            line = _json.dumps(report.summary(), sort_keys=True)
+            print(line, flush=True)
+            if sink:
+                sink.write(line + "\n")
+    finally:
+        if sink:
+            sink.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -248,7 +248,7 @@ def fused_infer_int8_model(
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
-    "interpret", "ccl_stride", "lung_hw"))
+    "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
 def chained_infer_int8(
     lung_model,
     lung_q: dict,
@@ -263,6 +263,7 @@ def chained_infer_int8(
     interpret: bool = False,
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
 ):
     """The full no-GT chain (``production.chained_infer``) with BOTH U-Nets
     served int8 — the box stage tolerates quantization trivially (boxes move
@@ -277,12 +278,12 @@ def chained_infer_int8(
     seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
-                         lung_hw)
+                         lung_hw, refine_boxes=refine_boxes)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
-    "threshold", "interpret", "ccl_stride", "lung_hw"))
+    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
 def one_stop_infer_int8(
     lung_model,
     lung_q: dict,
@@ -300,6 +301,7 @@ def one_stop_infer_int8(
     interpret: bool = False,
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
 ):
     """``production.one_stop_infer`` (lung seg + infection seg +
     classification, one jit, no GT) with all THREE models served int8 —
@@ -314,7 +316,8 @@ def one_stop_infer_int8(
     cls_apply = lambda x: apply_int8_model(cls_model, cls_q, cls_variables, x)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
-                         lung_hw, cls_apply=cls_apply)
+                         lung_hw, cls_apply=cls_apply,
+                         refine_boxes=refine_boxes)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "threshold", "interpret"))

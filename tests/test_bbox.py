@@ -95,3 +95,43 @@ def test_fuse_lung_crops_traced(rng):
     assert out.shape == (250, 250)
     ref1 = cv2.resize(np.asarray(img)[60:360, 50:200], (125, 250), interpolation=cv2.INTER_AREA)
     np.testing.assert_allclose(np.asarray(out)[:, :125], ref1, atol=1e-4)
+
+
+def test_refine_boxes_bilinear_recovers_subgrid_edges():
+    """A pyramid probability field has known threshold crossings; boxes
+    labeled on a 4x-coarser grid are quantized by +-4 raw px, and the
+    bilinear refinement must recover the crossing to ~1 raw px."""
+    from onestop_tpu.ops.bbox import refine_boxes_bilinear
+
+    hh = ww = 128
+    lh = lw = 32
+    cy, cx, r = 61.0, 67.0, 30.0  # raw-grid pyramid apex and half-width
+    ry = np.arange(lh) * (hh / lh) + (hh / lh - 1) / 2  # coarse pixel centers
+    rx = np.arange(lw) * (ww / lw) + (ww / lw - 1) / 2
+    probs = np.clip(1 - np.maximum(np.abs(ry[:, None] - cy),
+                                   np.abs(rx[None, :] - cx)) / r, 0, 1)
+    t = 0.5  # true crossing: |d| = r/2 -> raw box [c-15, c+15]
+    mask = probs > t
+    ys, xs = np.nonzero(mask)
+    coarse = np.array([[xs.min(), ys.min(), xs.max() - xs.min() + 1,
+                        ys.max() - ys.min() + 1]], np.float32)
+    ref = refine_boxes_bilinear(jnp.asarray(probs, jnp.float32)[None],
+                                jnp.asarray(coarse)[None], t, (hh, ww))
+    x, y, w, h = np.asarray(ref)[0, 0]
+    # true crossings at cx +- r/2, cy +- r/2 (field is piecewise-linear, so
+    # bilinear interpolation between coarse centers is near-exact)
+    assert abs(x - (cx - 15)) <= 1.5 and abs(y - (cy - 15)) <= 1.5
+    assert abs((x + w) - (cx + 15 + 1)) <= 1.5
+    assert abs((y + h) - (cy + 15 + 1)) <= 1.5
+    # while the coarse box scaled to raw coords is off by up to a full cell
+    sc = coarse[0] * (hh / lh)
+    assert abs(sc[0] - (cx - 15)) > 1.5 or abs(sc[1] - (cy - 15)) > 1.5
+
+
+def test_refine_boxes_empty_restriction_falls_back():
+    from onestop_tpu.ops.bbox import refine_boxes_bilinear
+
+    probs = jnp.zeros((1, 16, 16), jnp.float32)
+    boxes = jnp.asarray([[[2.0, 3.0, 4.0, 5.0]]])
+    out = np.asarray(refine_boxes_bilinear(probs, boxes, 0.5, (64, 64)))
+    np.testing.assert_allclose(out[0, 0], [8.0, 12.0, 16.0, 20.0])

@@ -214,3 +214,39 @@ def test_one_stop_infer_sharded_matches_single_device(rng):
     # per-shard batch 1 vs batch 8 — probabilities agree to float32 ulps only
     np.testing.assert_allclose(np.asarray(ref_p), np.asarray(got_p),
                                rtol=0, atol=1e-5)
+
+
+def test_refined_boxes_equal_exact_ccl_on_same_grid():
+    """When the lung grid equals the raw grid the bilinear upsample is the
+    identity, so refine_boxes=True must reproduce the exact stride-1 CCL
+    boxes exactly — even when labeling ran on the stride-2 pooled mask.
+    Uses a truth-emitting lung stage on clean phantoms (noise inputs would
+    change the top-2 component *selection* between strides, which is the
+    documented coarse-CCL merge behavior, not a refinement property)."""
+    hw = 64
+    case = synthetic_case(seed=5, hw=hw, n_slices=8)
+    cts = load_slices(case.ct, img_size=hw)
+    lungs = load_slices(case.lung_mask, img_size=hw)
+    keep = (lungs > 0).reshape(len(lungs), -1).max(axis=1) > 0
+    raw_u8 = jnp.asarray(np.uint8(np.clip(cts[keep] * 255.0, 0, 255)))
+    masks01 = jnp.asarray((lungs[keep] > 0).astype(np.float32))[..., None]
+
+    class TruthLung:
+        def __init__(self, masks):
+            self.masks = masks
+        def apply(self, variables, x, train=False):
+            return self.masks
+        def __hash__(self):
+            return id(self)
+        def __eq__(self, other):
+            return self is other
+
+    lung = TruthLung(masks01)
+    _, _, seg, vs = _models(hw)
+    kw = dict(model_hw=(hw, hw), threshold=0.5, interpret=_INTERPRET)
+    _, e1, e2 = chained_infer(lung, {}, seg, vs, raw_u8, ccl_stride=1,
+                              refine_boxes=False, **kw)
+    _, r1, r2 = chained_infer(lung, {}, seg, vs, raw_u8, ccl_stride=2,
+                              refine_boxes=True, **kw)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(e1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(r2), np.asarray(e2), atol=1e-5)

@@ -1,0 +1,98 @@
+"""Volume-level serving runtime (onestop_tpu.serve): NIfTI files in,
+per-volume one-stop reports out, host IO pipelined against device compute.
+The reference has no serving/deployment path at all (SURVEY.md §8 Q2)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from onestop_tpu.data.ingest import _to_u8, load_slices
+from onestop_tpu.data.nifti import save_nifti
+from onestop_tpu.data.synthetic import synthetic_case
+from onestop_tpu.models import ClassifierCNN, UNet
+from onestop_tpu.production import chained_infer
+from onestop_tpu.serve import VolumeReport, serve_volumes
+
+_INTERPRET = True  # tests run on CPU
+HW = 64
+
+
+@pytest.fixture(scope="module")
+def volumes(tmp_path_factory):
+    d = tmp_path_factory.mktemp("vols")
+    paths = []
+    for i in range(3):
+        case = synthetic_case(seed=10 + i, hw=HW, n_slices=12)
+        p = d / f"case_{i}.nii.gz"
+        save_nifti(p, case.ct)
+        paths.append(str(p))
+    return paths
+
+
+@pytest.fixture(scope="module")
+def models():
+    lung = UNet(widths=(4, 8), bridge=16)
+    seg = UNet(widths=(4, 8), bridge=16)
+    cls = ClassifierCNN(widths=(4, 8, 8), dense=8)
+    vl = lung.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, HW, HW, 1)), train=False)
+    vs = seg.init({"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, HW, HW, 1)), train=False)
+    vc = cls.init({"params": jax.random.PRNGKey(2)},
+                  jnp.zeros((1, HW, HW, 1)), train=False)
+    return lung, vl, seg, vs, cls, vc
+
+
+def test_serve_volumes_reports_and_block_padding(volumes, models):
+    """Reports come back in input order with padding stripped, and the
+    blocked pipeline's masks equal a direct full-batch chained_infer —
+    block size and zero-padding must not change any slice's output."""
+    lung, vl, seg, vs, _, _ = models
+    reports = list(serve_volumes(
+        volumes, lung, vl, seg, vs, img_size=HW, block=5, prefetch=2,
+        model_hw=(HW, HW), keep_masks=True, interpret=_INTERPRET))
+    assert [r.path for r in reports] == volumes
+    for i, r in enumerate(reports):
+        case = synthetic_case(seed=10 + i, hw=HW, n_slices=12)
+        sl = load_slices(case.ct, img_size=HW)
+        assert r.n_slices == len(sl)                # 20–80% window
+        assert r.boxes1.shape == (r.n_slices, 4)
+        assert r.infection_fraction.shape == (r.n_slices,)
+        assert (0 <= r.infection_fraction).all()
+        assert (r.infection_fraction <= 1).all()
+        assert r.cls_probs is None
+        assert r.masks.shape == (r.n_slices, HW, HW)
+        direct, db1, db2 = chained_infer(
+            lung, vl, seg, vs, jnp.asarray(_to_u8(sl)), model_hw=(HW, HW),
+            threshold=0.5, interpret=_INTERPRET)
+        np.testing.assert_array_equal(r.masks, np.asarray(direct)[..., 0])
+        np.testing.assert_allclose(r.boxes1, np.asarray(db1), atol=1e-5)
+
+
+def test_serve_volumes_one_stop_classifier(volumes, models):
+    lung, vl, seg, vs, cls, vc = models
+    r = next(iter(serve_volumes(
+        volumes[:1], lung, vl, seg, vs, cls, vc, img_size=HW, block=8,
+        model_hw=(HW, HW), interpret=_INTERPRET)))
+    assert r.cls_probs is not None and r.cls_probs.shape == (r.n_slices,)
+    assert (0 <= r.cls_probs).all() and (r.cls_probs <= 1).all()
+    s = r.summary()
+    json.dumps(s)                                   # JSON-serializable
+    assert s["n_slices"] == r.n_slices and "infected_slices" in s
+
+
+def test_serve_volumes_int8(volumes, models):
+    lung, vl, seg, vs, _, _ = models
+    from onestop_tpu.serve_int8 import quantize_model
+
+    cal = jnp.asarray(np.random.default_rng(0).random((4, HW, HW, 1)),
+                      jnp.float32)
+    quant = {"lung": quantize_model(lung, vl, cal),
+             "seg": quantize_model(seg, vs, cal)}
+    r = next(iter(serve_volumes(
+        volumes[:1], lung, vl, seg, vs, quant=quant, img_size=HW, block=8,
+        model_hw=(HW, HW), interpret=_INTERPRET)))
+    assert isinstance(r, VolumeReport) and r.n_slices > 0
