@@ -57,6 +57,11 @@ def main():
                     help="with --chained: serve the FULL one-stop chain "
                          "(lung seg + infection seg + classification in one "
                          "jit, production.one_stop_infer)")
+    ap.add_argument("--lung-dim", type=int, default=None,
+                    help="with --chained: stage-1 lung resolution (e.g. 112; "
+                         "probability-field box refinement keeps the crop "
+                         "frame at raw precision — round3_refined_boxes.json "
+                         "measures dice parity with the 224 default)")
     ap.add_argument("--no-extras", action="store_true",
                     help="headline number only: skip the chained/int8 "
                          "companion measurements the default run appends "
@@ -120,6 +125,8 @@ def main():
 
         lung_vars = model.init({"params": jax.random.PRNGKey(1)},
                                jnp.zeros((1, o, o, 1)), train=False)
+        lung_hw = None if args.lung_dim is None else (args.lung_dim, args.lung_dim)
+        tag = "" if args.lung_dim is None else f"_lung{args.lung_dim}"
         cls_model = cls_vars = None
         if args.one_stop:
             # the full one-stop: the task2 classifier rides the stage-3 crop
@@ -138,37 +145,39 @@ def main():
             q_lung = quantize_model(model, lung_vars, x_cal)
             if args.one_stop:
                 q_cls = quantize_model(cls_model, cls_vars, x_cal)
-                metric = f"one_stop_int8_2xunet+cls_{args.in_hw}px_slices"
+                metric = f"one_stop_int8_2xunet+cls{tag}_{args.in_hw}px_slices"
 
                 def one_chunk(xc):
                     masks, probs, _, _ = one_stop_infer_int8(
                         model, q_lung, lung_vars, model, q_seg, variables,
                         cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
-                        threshold=0.5, interpret=interpret)
+                        threshold=0.5, interpret=interpret, lung_hw=lung_hw)
                     return masks, probs
             else:
-                metric = f"chained_noGT_int8_2xunet_{args.in_hw}px_slices"
+                metric = f"chained_noGT_int8_2xunet{tag}_{args.in_hw}px_slices"
 
                 def one_chunk(xc):
                     masks, _, _ = chained_infer_int8(
                         model, q_lung, lung_vars, model, q_seg, variables, xc,
-                        model_hw=(o, o), threshold=0.5, interpret=interpret)
+                        model_hw=(o, o), threshold=0.5, interpret=interpret,
+                        lung_hw=lung_hw)
                     return masks
         elif args.one_stop:
-            metric = f"one_stop_preproc+2xunet+cls_{args.in_hw}px_slices"
+            metric = f"one_stop_preproc+2xunet+cls{tag}_{args.in_hw}px_slices"
 
             def one_chunk(xc):
                 masks, probs, _, _ = one_stop_infer(
                     model, lung_vars, model, variables, cls_model, cls_vars,
-                    xc, model_hw=(o, o), threshold=0.5, interpret=interpret)
+                    xc, model_hw=(o, o), threshold=0.5, interpret=interpret,
+                    lung_hw=lung_hw)
                 return masks, probs
         else:
-            metric = f"chained_noGT_preproc+2xunet_{args.in_hw}px_slices"
+            metric = f"chained_noGT_preproc+2xunet{tag}_{args.in_hw}px_slices"
 
             def one_chunk(xc):
                 masks, _, _ = chained_infer(model, lung_vars, model, variables,
                                             xc, model_hw=(o, o), threshold=0.5,
-                                            interpret=interpret)
+                                            interpret=interpret, lung_hw=lung_hw)
                 return masks
 
         @jax.jit
@@ -232,6 +241,7 @@ def main():
 
         budget_s, spent = 1500.0, 0.0
         for name, flags in (("chained_noGT", ["--chained"]),
+                            ("chained_noGT_fast112", ["--chained", "--lung-dim", "112"]),
                             ("chained_noGT_int8", ["--chained", "--int8"]),
                             ("int8", ["--int8"])):
             if spent > budget_s:

@@ -309,6 +309,35 @@ def plot_lr_schedule(lrs, title="Learning rate", path=None):
     return fig
 
 
+def plot_schedule_zoo(path=None, epochs: int = 100):
+    """The reference's LR-schedule demo panel (ref holdout.py:941-1035):
+    step vs continuous exponential decay, plain cosine annealing, and the
+    cosine + exponentially-decaying-max blend, over 100 epochs."""
+    from onestop_tpu.train import schedules as S
+
+    plt = _plt()
+    es = np.arange(epochs)
+    fig, axes = plt.subplots(1, 2, figsize=(11, 4))
+    axes[0].plot(es, [S.step_decay_lr(e) for e in es], "g", label="Step decay")
+    axes[0].plot(es, [S.continuous_decay_lr(e) for e in es], "r",
+                 label="Continuous decay")
+    axes[0].set_title("Exponential decaying learning rate")
+    axes[1].plot(es, [S.cosine_annealing_lr(e, eta_max=2e-3) for e in es],
+                 "grey", label="Cosine annealing")
+    axes[1].plot(es, [S.cosine_exponential_blend_lr(e) for e in es], "c",
+                 label="Cosine + exp-decaying max lr")
+    axes[1].set_title("Cosine annealing learning rate")
+    for ax in axes:
+        ax.set_xlabel("Epochs")
+        ax.set_ylabel("Learning rates")
+        ax.grid(True)
+        ax.legend()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_production_chain(raw_u8, lung_mask, boxes1, boxes2, infection_mask,
                           path=None):
     """Gallery for the chained no-GT pipeline (onestop_tpu.production): raw

@@ -190,6 +190,11 @@ def _holdout_figures(out_dir: Path, name: str, history, report, val, threshold):
     x_val, y_val, probs = val
     viz.plot_training_curves(history, path=out_dir / f"{name}_training_curves.png")
     viz.plot_lr_schedule(history["lr"], path=out_dir / f"{name}_lr_schedule.png")
+    # the reference's schedule-zoo demo plots precede its training cell
+    # (holdout.py:941-1035); emitted once per run directory
+    zoo = out_dir / "lr_schedule_zoo.png"
+    if not zoo.exists():
+        viz.plot_schedule_zoo(path=zoo)
     viz.plot_sweep_curves(report, path=out_dir / f"{name}_sweep.png")
     # show the busiest mask plus the first slice (the reference eyeballs a
     # handful of val slices; the largest-GT one is the informative pick)

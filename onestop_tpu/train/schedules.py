@@ -19,6 +19,24 @@ def step_decay_lr(epoch: int, initial: float = 8e-4, drop: float = 0.8, epochs_d
     return initial * math.pow(drop, math.floor((1 + epoch) / epochs_drop))
 
 
+def continuous_decay_lr(epoch: int, initial: float = 8e-4, drop: float = 0.8, epochs_drop: int = 10) -> float:
+    """The un-floored exponential (the reference's red 'Continuous decay'
+    curve next to step decay, ref ``holdout.py:927,946``)."""
+    return initial * math.pow(drop, (1 + epoch) / epochs_drop)
+
+
+def cosine_exponential_blend_lr(epoch: int, t_max: int = 7, eta_max: float = 2e-3,
+                                eta_min: float = 1e-4, drop: float = 0.8,
+                                epochs_drop: int = 10) -> float:
+    """Cosine annealing whose eta_max itself decays exponentially — the
+    reference's 'Cosine Annealing Learning rate + Exponential decaying max
+    lr' demo (ref ``holdout.py:1003-1018``). There, epoch e's cosine uses the
+    eta_max assigned at the END of iteration e−1, i.e. initial·drop^(e/N)
+    (epoch 0 uses the undecayed initial)."""
+    decayed = eta_max if epoch == 0 else eta_max * math.pow(drop, epoch / epochs_drop)
+    return eta_min + (decayed - eta_min) * (1 + math.cos(math.pi * epoch / t_max)) / 2
+
+
 def constant_lr(epoch: int, lr: float = 5e-4) -> float:
     return lr
 
@@ -31,7 +49,11 @@ def schedule_from_config(cfg):
         return lambda e: cosine_annealing_lr(e, cfg.cosine_t_max, cfg.cosine_eta_max, cfg.cosine_eta_min)
     if cfg.schedule == "step":
         return lambda e: step_decay_lr(e, cfg.step_decay_init, cfg.step_decay_drop, cfg.step_decay_epochs)
+    if cfg.schedule == "cosine_blend":
+        return lambda e: cosine_exponential_blend_lr(
+            e, cfg.cosine_t_max, cfg.cosine_eta_max, cfg.cosine_eta_min,
+            cfg.step_decay_drop, cfg.step_decay_epochs)
     if cfg.schedule == "constant":
         return lambda e: constant_lr(e, cfg.learning_rate)
     raise ValueError(f"unknown TrainConfig.schedule {cfg.schedule!r}; "
-                     "expected 'cosine', 'step', or 'constant'")
+                     "expected 'cosine', 'cosine_blend', 'step', or 'constant'")

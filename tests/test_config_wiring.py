@@ -204,6 +204,22 @@ def test_schedule_field_selects_lr_curve():
     cfg = C.TrainConfig(schedule="constant", learning_rate=2e-4)
     assert schedule_from_config(cfg)(17) == 2e-4
 
+    # the blend demo (ref holdout.py:1003-1018): cosine whose eta_max decays
+    # exponentially; epoch e>=1 uses the eta_max assigned at the end of e-1
+    from onestop_tpu.train.schedules import cosine_exponential_blend_lr
+    import math as _m
+
+    cfg = C.TrainConfig(schedule="cosine_blend", cosine_t_max=7,
+                        cosine_eta_max=2e-3, cosine_eta_min=1e-4,
+                        step_decay_drop=0.8, step_decay_epochs=10)
+    lr = schedule_from_config(cfg)
+    assert lr(0) == 2e-3  # cos(0) -> undecayed eta_max
+    e = 5
+    decayed = 2e-3 * 0.8 ** (e / 10)
+    want = 1e-4 + (decayed - 1e-4) * (1 + _m.cos(_m.pi * e / 7)) / 2
+    assert abs(lr(e) - want) < 1e-12
+    assert abs(cosine_exponential_blend_lr(e) - want) < 1e-12
+
     import pytest as _pt
     with _pt.raises(ValueError, match="unknown TrainConfig.schedule"):
         schedule_from_config(C.TrainConfig(schedule="linear"))

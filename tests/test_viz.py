@@ -20,6 +20,7 @@ def test_all_figures_render(tmp_path, rng):
     viz.plot_roc(np.linspace(0, 1, 11), np.sqrt(np.linspace(0, 1, 11)), 0.9,
                  tmp_path / "roc.png")
     viz.plot_lr_schedule([1e-3, 5e-4, 1e-4], path=tmp_path / "lr.png")
+    viz.plot_schedule_zoo(path=tmp_path / "lr_zoo.png")
     viz.plot_probability_distribution((rng.random(100) > 0.5).astype(float),
                                       rng.random(100), 0.81,
                                       path=tmp_path / "dist.png")
