@@ -138,29 +138,48 @@ def main():
                                       jnp.zeros((1, o, o, 1)), train=False)
         if args.int8:
             from onestop_tpu.serve_int8 import (
-                chained_infer_int8, one_stop_infer_int8, quantize_model)
+                chained_infer_int8, chained_infer_mixed, one_stop_infer_int8,
+                one_stop_infer_mixed, quantize_model)
 
             x_cal = jnp.asarray(rng.random((8, o, o, 1)), jnp.float32)
             q_seg = quantize_model(model, variables, x_cal)
             q_lung = quantize_model(model, lung_vars, x_cal)
+            # with a low-res lung stage the quality-gated int8 split keeps
+            # stage 1 bf16 (box refinement is sensitive to probability
+            # quantization at coarse grids: dice_112_s2_refine_int8 = 0.914
+            # vs mixed/bf16 0.941) — serve_int8.chained_infer_mixed
+            mixed = args.lung_dim is not None
+            itag = "int8seg" if mixed else "int8"
             if args.one_stop:
                 q_cls = quantize_model(cls_model, cls_vars, x_cal)
-                metric = f"one_stop_int8_2xunet+cls{tag}_{args.in_hw}px_slices"
+                metric = f"one_stop_{itag}_2xunet+cls{tag}_{args.in_hw}px_slices"
 
                 def one_chunk(xc):
-                    masks, probs, _, _ = one_stop_infer_int8(
-                        model, q_lung, lung_vars, model, q_seg, variables,
-                        cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
-                        threshold=0.5, interpret=interpret, lung_hw=lung_hw)
+                    if mixed:
+                        masks, probs, _, _ = one_stop_infer_mixed(
+                            model, lung_vars, model, q_seg, variables,
+                            cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
+                            threshold=0.5, interpret=interpret, lung_hw=lung_hw)
+                    else:
+                        masks, probs, _, _ = one_stop_infer_int8(
+                            model, q_lung, lung_vars, model, q_seg, variables,
+                            cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
+                            threshold=0.5, interpret=interpret, lung_hw=lung_hw)
                     return masks, probs
             else:
-                metric = f"chained_noGT_int8_2xunet{tag}_{args.in_hw}px_slices"
+                metric = f"chained_noGT_{itag}_2xunet{tag}_{args.in_hw}px_slices"
 
                 def one_chunk(xc):
-                    masks, _, _ = chained_infer_int8(
-                        model, q_lung, lung_vars, model, q_seg, variables, xc,
-                        model_hw=(o, o), threshold=0.5, interpret=interpret,
-                        lung_hw=lung_hw)
+                    if mixed:
+                        masks, _, _ = chained_infer_mixed(
+                            model, lung_vars, model, q_seg, variables, xc,
+                            model_hw=(o, o), threshold=0.5, interpret=interpret,
+                            lung_hw=lung_hw)
+                    else:
+                        masks, _, _ = chained_infer_int8(
+                            model, q_lung, lung_vars, model, q_seg, variables,
+                            xc, model_hw=(o, o), threshold=0.5,
+                            interpret=interpret, lung_hw=lung_hw)
                     return masks
         elif args.one_stop:
             metric = f"one_stop_preproc+2xunet+cls{tag}_{args.in_hw}px_slices"

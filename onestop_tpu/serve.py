@@ -109,15 +109,42 @@ def serve_volumes(
 
     With ``cls_model`` the full one-stop chain runs (lung seg → boxes →
     infection seg + per-slice classification); without it, the two-model
-    chain. ``quant`` switches every model to the int8 path: a dict with keys
+    chain. ``quant`` switches models to the int8 path: a dict with keys
     ``"lung"``/``"seg"`` (and ``"cls"`` when classifying) holding
-    ``serve_int8.quantize_model`` outputs.
+    ``serve_int8.quantize_model`` outputs; OMIT the ``"lung"`` key to keep
+    the lung stage bf16 (the quality-gated split for low-res ``lung_hw``,
+    see ``serve_int8.chained_infer_mixed``).
 
     ``block`` is the static slice-batch size (compile-shape granularity);
     ``prefetch`` is how many volumes the host loader runs ahead.
     """
     with_cls = cls_model is not None
-    if quant is not None:
+    if quant is not None and "lung" not in quant:
+        # mixed precision split: bf16 lung stage, int8 seg (+cls) — the
+        # quality-gated combination for low-res lung stages, where box
+        # refinement is sensitive to probability quantization
+        # (serve_int8.chained_infer_mixed)
+        from onestop_tpu.serve_int8 import (chained_infer_mixed,
+                                            one_stop_infer_mixed)
+
+        if with_cls:
+            infer = lambda x: one_stop_infer_mixed(
+                lung_model, lung_variables,
+                seg_model, quant["seg"], seg_variables,
+                cls_model, quant["cls"], cls_variables, x,
+                model_hw=model_hw, lung_threshold=lung_threshold,
+                threshold=threshold, interpret=interpret,
+                ccl_stride=ccl_stride, lung_hw=lung_hw,
+                refine_boxes=refine_boxes)
+        else:
+            infer = lambda x: chained_infer_mixed(
+                lung_model, lung_variables,
+                seg_model, quant["seg"], seg_variables, x,
+                model_hw=model_hw, lung_threshold=lung_threshold,
+                threshold=threshold, interpret=interpret,
+                ccl_stride=ccl_stride, lung_hw=lung_hw,
+                refine_boxes=refine_boxes)
+    elif quant is not None:
         from onestop_tpu.serve_int8 import chained_infer_int8, one_stop_infer_int8
 
         if with_cls:
@@ -236,6 +263,7 @@ def calibrate_quant(
     refine_boxes: bool = True,
     interpret: bool = False,
     n_cal: int = 8,
+    quantize_lung: bool = True,
 ):
     """Build the int8 ``quant`` dict for ``serve_volumes``, calibrated on
     REAL stage inputs derived from a sample of actual slices: the bf16 chain
@@ -249,7 +277,10 @@ def calibrate_quant(
     from onestop_tpu.production import chained_infer
     from onestop_tpu.serve_int8 import quantize_model
 
-    u8 = jnp.asarray(np.asarray(u8_slices)[:n_cal])
+    arr = np.asarray(u8_slices)
+    # spread the calibration sample across the volume (edge slices are
+    # near-empty; middle slices carry the activation range that matters)
+    u8 = jnp.asarray(arr[np.linspace(0, len(arr) - 1, min(n_cal, len(arr))).astype(int)])
     lh = model_hw if lung_hw is None else lung_hw
     enhanced = clahe_fused(u8, interpret=interpret)
     x_lung = (resize2d(enhanced.astype(jnp.float32), lh, "area") / 255.0)[..., None]
@@ -259,8 +290,9 @@ def calibrate_quant(
         ccl_stride=ccl_stride, lung_hw=lung_hw, refine_boxes=refine_boxes)
     x_seg = serving_preproc(enhanced, b1, b2, model_hw, interpret=interpret,
                             pre_enhanced=True)
-    quant = {"lung": quantize_model(lung_model, lung_variables, x_lung),
-             "seg": quantize_model(seg_model, seg_variables, x_seg)}
+    quant = {"seg": quantize_model(seg_model, seg_variables, x_seg)}
+    if quantize_lung:
+        quant["lung"] = quantize_model(lung_model, lung_variables, x_lung)
     if cls_model is not None:
         quant["cls"] = quantize_model(cls_model, cls_variables, x_seg)
     return quant
@@ -346,7 +378,10 @@ def main(argv=None):
         quant = calibrate_quant(first, lung_model, lung_vars, seg_model,
                                 seg_vars, cls_model, cls_vars,
                                 model_hw=(d, d), lung_hw=kw["lung_hw"],
-                                refine_boxes=kw["refine_boxes"])
+                                refine_boxes=kw["refine_boxes"],
+                                # low-res lung stages keep stage 1 bf16
+                                # (serve_int8.chained_infer_mixed rationale)
+                                quantize_lung=kw["lung_hw"] is None)
 
     import json as _json
     sink = open(args.out, "a") if args.out else None

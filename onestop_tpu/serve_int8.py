@@ -249,6 +249,43 @@ def fused_infer_int8_model(
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
     "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+def chained_infer_mixed(
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_q: dict,
+    seg_variables,
+    raw_u8: Array,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
+):
+    """bf16 lung stage + int8 infection stage — the right precision split
+    for the fast low-res preset. Box refinement thresholds the bilinearly
+    *upsampled* lung probability field, so int8's ~1e-2 probability
+    perturbation moves the subpixel box edges by up to a full coarse cell:
+    measured at lung_hw=112 the all-int8 chain drops chained dice to 0.914
+    vs bf16's 0.941 (artifacts_tpu/round3_refined_boxes.json,
+    dice_112_s2_refine_int8) — while at the 112 resolution the lung stage is
+    already cheap, so quantizing it buys little. Keeping stage 1 bf16 makes
+    the boxes bit-identical to the bf16 chain; only the infection U-Net
+    (which passes its own int8 gate) quantizes."""
+    from onestop_tpu.production import _chain_stages
+
+    lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
+    seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
+    return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
+                         lung_threshold, threshold, interpret, ccl_stride,
+                         lung_hw, refine_boxes=refine_boxes)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
+    "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
 def chained_infer_int8(
     lung_model,
     lung_q: dict,
@@ -312,6 +349,42 @@ def one_stop_infer_int8(
 
     lung_apply = lambda x: apply_int8_model(lung_model, lung_q,
                                             lung_variables, x)
+    seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
+    cls_apply = lambda x: apply_int8_model(cls_model, cls_q, cls_variables, x)
+    return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
+                         lung_threshold, threshold, interpret, ccl_stride,
+                         lung_hw, cls_apply=cls_apply,
+                         refine_boxes=refine_boxes)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
+    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+def one_stop_infer_mixed(
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_q: dict,
+    seg_variables,
+    cls_model,
+    cls_q: dict,
+    cls_variables,
+    raw_u8: Array,
+    model_hw: tuple[int, int] = (224, 224),
+    lung_threshold: float = 0.5,
+    threshold: float | None = 0.5,
+    interpret: bool = False,
+    ccl_stride: int = 2,
+    lung_hw: tuple[int, int] | None = None,
+    refine_boxes: bool = True,
+):
+    """One-stop chain with the ``chained_infer_mixed`` precision split:
+    bf16 lung stage (boxes bit-identical to the bf16 chain — box refinement
+    is sensitive to probability quantization at low lung resolutions), int8
+    infection U-Net + classifier (both pass their per-family gates)."""
+    from onestop_tpu.production import _chain_stages
+
+    lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
     seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
     cls_apply = lambda x: apply_int8_model(cls_model, cls_q, cls_variables, x)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,

@@ -192,3 +192,60 @@ def test_one_stop_infer_int8_end_to_end(rng):
     probs = np.asarray(probs)
     assert probs.shape == (2,)
     assert (probs >= 0).all() and (probs <= 1).all()
+
+
+def test_chained_mixed_boxes_bitidentical_to_bf16():
+    """The mixed split (bf16 lung stage + int8 infection U-Net,
+    serve_int8.chained_infer_mixed) must produce boxes BIT-identical to the
+    bf16 chain — only the stage-3 masks may differ (int8 seg)."""
+    import numpy as np
+    from onestop_tpu.models import UNet
+    from onestop_tpu.production import chained_infer
+    from onestop_tpu.serve_int8 import chained_infer_mixed, quantize_model
+
+    hw = 64
+    lung = UNet(widths=(4, 8), bridge=16)
+    seg = UNet(widths=(4, 8), bridge=16)
+    vl = lung.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, hw, hw, 1)), train=False)
+    vs = seg.init({"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, hw, hw, 1)), train=False)
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, hw, hw), dtype=np.uint8))
+    cal = jnp.asarray(rng.random((4, hw, hw, 1)), jnp.float32)
+    q_seg = quantize_model(seg, vs, cal)
+
+    kw = dict(model_hw=(hw, hw), threshold=0.5, interpret=True)
+    _, b1, b2 = chained_infer(lung, vl, seg, vs, imgs, **kw)
+    m, mb1, mb2 = chained_infer_mixed(lung, vl, seg, q_seg, vs, imgs, **kw)
+    np.testing.assert_array_equal(np.asarray(mb1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(mb2), np.asarray(b2))
+    assert m.shape == (2, hw, hw, 1)
+
+
+def test_serve_volumes_mixed_quant(tmp_path):
+    """quant without a 'lung' key routes through the mixed split."""
+    import numpy as np
+    from onestop_tpu.data.nifti import save_nifti
+    from onestop_tpu.data.synthetic import synthetic_case
+    from onestop_tpu.models import UNet
+    from onestop_tpu.serve import serve_volumes
+    from onestop_tpu.serve_int8 import quantize_model
+
+    hw = 64
+    case = synthetic_case(seed=31, hw=hw, n_slices=8)
+    p = tmp_path / "v.nii.gz"
+    save_nifti(p, case.ct)
+    lung = UNet(widths=(4, 8), bridge=16)
+    seg = UNet(widths=(4, 8), bridge=16)
+    vl = lung.init({"params": jax.random.PRNGKey(0)},
+                   jnp.zeros((1, hw, hw, 1)), train=False)
+    vs = seg.init({"params": jax.random.PRNGKey(1)},
+                  jnp.zeros((1, hw, hw, 1)), train=False)
+    cal = jnp.asarray(np.random.default_rng(0).random((4, hw, hw, 1)),
+                      jnp.float32)
+    quant = {"seg": quantize_model(seg, vs, cal)}
+    r = next(iter(serve_volumes([str(p)], lung, vl, seg, vs, quant=quant,
+                                img_size=hw, block=8, model_hw=(hw, hw),
+                                interpret=True)))
+    assert r.n_slices > 0 and r.boxes1.shape == (r.n_slices, 4)
