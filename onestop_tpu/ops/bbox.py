@@ -141,6 +141,12 @@ def component_bboxes(labels: Array, k: int = 2):
     (size reported as 0 only if there are no components at all, in which case
     the full-image box is returned).
     """
+    boxes, sizes, _ = _topk_boxes(labels, k)
+    return boxes, sizes
+
+
+def _topk_boxes(labels: Array, k: int):
+    """(boxes, sizes, top_labels) of the k largest components."""
     h, w = labels.shape
     sizes_flat = _component_sizes(labels)     # indexed by label-1
     # iterative top-k (k is tiny): argmax ties break at the lowest flat
@@ -172,16 +178,27 @@ def component_bboxes(labels: Array, k: int = 2):
         return jnp.where(any_sel, box, jnp.array([0, 0, w, h], jnp.int32))
 
     boxes = jax.vmap(one_box)(top_labels)
-    return boxes, top_sizes
+    return boxes, top_sizes, top_labels
+
+
+def two_lung_components(mask: Array):
+    """Like ``two_lung_bboxes`` but also returns the two components' own
+    binary masks (2, H, W) — the restriction the probability-field box
+    refinement needs so neighboring supra-threshold regions that CCL ranked
+    OUT of the top-2 cannot inflate a refined box."""
+    labels = connected_components(mask)
+    boxes, sizes, top_labels = _topk_boxes(labels, 2)
+    comp = labels[None, :, :] == top_labels[:, None, None]
+    return boxes, sizes, comp
 
 
 @functools.partial(jax.jit, static_argnames=("raw_hw",))
 def refine_boxes_bilinear(
     probs: Array,               # (B, lh, lw) f32 lung probabilities
-    boxes: Array,               # (B, k, 4) float (x, y, w, h), PROB-grid coords
+    comps: Array,               # (B, k, ph, pw) bool component masks (pooled grid)
+    coarse_boxes: Array,        # (B, k, 4) float (x, y, w, h), PROB-grid coords
     threshold: float | Array,
     raw_hw: tuple[int, int],
-    margin: float = 1.5,
 ) -> Array:
     """Sub-grid box refinement from the probability field itself.
 
@@ -192,18 +209,22 @@ def refine_boxes_bilinear(
     ``lung_dim=112`` (artifacts_tpu/round3_chain_lowres.json). But the model
     emits a *continuous* probability field, and the mask's threshold crossing
     lies between grid-pixel centers: bilinearly upsampling ``probs`` to
-    ``raw_hw`` and re-reducing min/max extents inside each coarse box
-    recovers the crossing at raw-pixel precision. One (lh→H, lw→W) matmul
-    resize shared by all k boxes + two masked iota reductions per box — no
-    extra CCL.
+    ``raw_hw`` and re-reducing min/max extents recovers the crossing at
+    raw-pixel precision. One (lh→H, lw→W) matmul resize shared by all k
+    boxes + two masked iota reductions per box — no extra CCL.
 
-    Each input box is expanded by ``margin`` prob-grid px before restricting
-    (the crossing can sit up to one grid cell outside the on-pixel bbox, and
-    pooled coarse boxes already cover the exact ones). Empty restrictions
-    fall back to the plain-scaled coarse box. Returns (B, k, 4) float32 boxes
-    in raw coordinates.
+    The reduction is restricted to each component's OWN 3×3-dilated footprint
+    (``comps``, nearest-upsampled from the labeling grid), not a window
+    around its box — so a nearby supra-threshold region that CCL ranked out
+    of the top-2 cannot inflate the refined box. The one-cell dilation is
+    exactly the reach of the interpolated crossing: a raw pixel can only
+    exceed ``threshold`` if one of its 4 bilinear neighbors does, i.e. it
+    lies within one prob-grid cell (≤ one pooled cell) of an on-pixel.
+    Components whose thresholded field is empty fall back to the
+    plain-scaled ``coarse_boxes``. Returns (B, k, 4) float32 raw-coord boxes.
     """
     lh, lw = probs.shape[-2:]
+    ph, pw = comps.shape[-2:]
     hh, ww = raw_hw
     sy, sx = hh / lh, ww / lw
     from onestop_tpu.ops.resize import resize2d
@@ -211,25 +232,25 @@ def refine_boxes_bilinear(
     up = resize2d(probs.astype(jnp.float32), raw_hw, "linear")   # (B, H, W)
     rows = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (hh, ww), 1)
+    # nearest-neighbor raw -> pooled-grid index maps (pixel centers)
+    ri = jnp.clip(((jnp.arange(hh) + 0.5) * (ph / hh)).astype(jnp.int32), 0, ph - 1)
+    ci = jnp.clip(((jnp.arange(ww) + 0.5) * (pw / ww)).astype(jnp.int32), 0, pw - 1)
 
-    def one(upimg, box):
-        x, y, w, h = box[0], box[1], box[2], box[3]
-        rx0 = (x - margin) * sx
-        ry0 = (y - margin) * sy
-        rx1 = (x + w + margin) * sx
-        ry1 = (y + h + margin) * sy
-        inside = ((rows >= ry0) & (rows < ry1) & (cols >= rx0) & (cols < rx1))
-        m = (upimg > threshold) & inside
+    def one(upimg, comp, box):
+        dil = jax.lax.reduce_window(comp, False, jax.lax.bitwise_or,
+                                    (3, 3), (1, 1), "SAME")
+        m = (upimg > threshold) & dil[ri][:, ci]
         big = jnp.int32(hh + ww)
         y0 = jnp.min(jnp.where(m, rows, big))
         y1 = jnp.max(jnp.where(m, rows, -1))
         x0 = jnp.min(jnp.where(m, cols, big))
         x1 = jnp.max(jnp.where(m, cols, -1))
         refined = jnp.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1]).astype(jnp.float32)
+        x, y, w, h = box[0], box[1], box[2], box[3]
         fallback = jnp.stack([x * sx, y * sy, w * sx, h * sy])
         return jnp.where(jnp.any(m), refined, fallback)
 
-    return jax.vmap(jax.vmap(one, in_axes=(None, 0)))(up, boxes)
+    return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0)))(up, comps, coarse_boxes)
 
 
 def two_lung_bboxes(mask: Array):

@@ -116,3 +116,16 @@ def lung_boxes_batch(masks01: Array) -> tuple[Array, Array]:
         return b1, b2
 
     return jax.vmap(one)(masks01)
+
+
+def lung_boxes_components_batch(masks01: Array):
+    """``lung_boxes_batch`` that also returns the two components' own masks
+    (B, 2, H, W) — consumed by the probability-field box refinement
+    (``ops.bbox.refine_boxes_bilinear``)."""
+    from onestop_tpu.ops.bbox import two_lung_components
+
+    def one(m):
+        boxes, _, comp = two_lung_components(m > 0)
+        return boxes[0], boxes[1], comp
+
+    return jax.vmap(one)(masks01)

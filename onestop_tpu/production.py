@@ -126,28 +126,32 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
     if s > 1:
         lung_masks = jax.lax.reduce_window(
             lung_masks, False, jax.lax.bitwise_or, (1, s, s), (1, s, s), "VALID")
-    b1, b2 = lung_boxes_batch(lung_masks.astype(jnp.float32))
-    b1, b2 = b1.astype(jnp.float32), b2.astype(jnp.float32)
-    if s > 1:
-        # pooled cell (x, y) covers model px [x·s, x·s + s): scaling the
-        # pooled box by s already covers the exact stride-1 box on every side
-        # (x0p·s ≤ x0 and (x1p+1)·s − 1 ≥ x1), overshooting by < s px per
-        # side and never leaving the lung frame
-        b1 = b1 * s
-        b2 = b2 * s
     if refine_boxes:
         from onestop_tpu.ops.bbox import refine_boxes_bilinear
+        from onestop_tpu.ops.pipeline import lung_boxes_components_batch
 
         # re-derive every edge from the continuous probability field at raw
         # resolution: one shared (lh→H, lw→W) bilinear matmul resize + masked
-        # iota reductions inside each (margin-expanded) coarse box — removes
-        # the lung-grid AND ccl_stride quantization from the crop frame
+        # iota reductions inside each component's own dilated footprint —
+        # removes the lung-grid AND ccl_stride quantization from the crop
+        # frame without letting out-of-top-2 regions inflate a box
+        b1, b2, comps = lung_boxes_components_batch(
+            lung_masks.astype(jnp.float32))
+        coarse = jnp.stack([b1, b2], axis=1).astype(jnp.float32) * s
         refined = refine_boxes_bilinear(
-            lung_probs[..., 0].astype(jnp.float32),
-            jnp.stack([b1, b2], axis=1), lung_threshold, (h, w),
-            margin=1.0 + s)
+            lung_probs[..., 0].astype(jnp.float32), comps, coarse,
+            lung_threshold, (h, w))
         b1, b2 = refined[:, 0], refined[:, 1]
     else:
+        b1, b2 = lung_boxes_batch(lung_masks.astype(jnp.float32))
+        b1, b2 = b1.astype(jnp.float32), b2.astype(jnp.float32)
+        if s > 1:
+            # pooled cell (x, y) covers model px [x·s, x·s + s): scaling the
+            # pooled box by s already covers the exact stride-1 box on every
+            # side (x0p·s ≤ x0 and (x1p+1)·s − 1 ≥ x1), overshooting by < s
+            # px per side and never leaving the lung frame
+            b1 = b1 * s
+            b2 = b2 * s
         sy = h / lung_hw[0]
         sx = w / lung_hw[1]
         scale = jnp.array([sx, sy, sx, sy], jnp.float32)         # (x, y, w, h)

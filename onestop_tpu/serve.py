@@ -338,10 +338,10 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="append JSONL summaries here")
     args = p.parse_args(argv)
 
-    task1, task3 = C.task1_holdout(), C.task3_lung()
+    task1 = C.task1_holdout()
     d = task1.preprocess.new_dim
     lung_dim = args.lung_dim or d
-    m = task1.model
+    m = task1.model  # task3's ModelConfig shares these U-Net fields
     # serving builds stem-off (inference-fastest; param tree identical to
     # the stem-on training builds, see runners._build_unet)
     lung_model = UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,

@@ -32,8 +32,8 @@ def cosine_exponential_blend_lr(epoch: int, t_max: int = 7, eta_max: float = 2e-
     reference's 'Cosine Annealing Learning rate + Exponential decaying max
     lr' demo (ref ``holdout.py:1003-1018``). There, epoch e's cosine uses the
     eta_max assigned at the END of iteration e−1, i.e. initial·drop^(e/N)
-    (epoch 0 uses the undecayed initial)."""
-    decayed = eta_max if epoch == 0 else eta_max * math.pow(drop, epoch / epochs_drop)
+    (drop^0 = 1 covers epoch 0's undecayed initial)."""
+    decayed = eta_max * math.pow(drop, epoch / epochs_drop)
     return eta_min + (decayed - eta_min) * (1 + math.cos(math.pi * epoch / t_max)) / 2
 
 

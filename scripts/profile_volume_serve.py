@@ -13,7 +13,6 @@ Measures what the runtime is FOR — overlap of host IO with device compute:
 Writes artifacts_tpu/round3_volume_serve.json.
 """
 
-import dataclasses
 import json
 import os
 import sys
@@ -27,22 +26,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from onestop_tpu import config as C
-from onestop_tpu import runners as R
 from onestop_tpu.data.nifti import save_nifti
 from onestop_tpu.data.synthetic import synthetic_case
-from onestop_tpu.serve import serve_volumes
-from onestop_tpu.train.checkpoint import load_checkpoint
+from onestop_tpu.models import UNet
+from onestop_tpu.serve import _load_vars, serve_volumes
 
 N_VOLUMES = 8
 HW, SLICES = 512, 64
 
 
-def _load(model, path, in_hw):
-    tmpl = model.init({"params": jax.random.PRNGKey(0)},
-                      jnp.zeros((1,) + in_hw + (1,), jnp.float32), train=False)
-    params, bstats = load_checkpoint(path, tmpl["params"],
-                                     tmpl.get("batch_stats", {}))
-    return {"params": params, "batch_stats": bstats}
+def _serving_unet(m):
+    """The DEPLOYMENT build: bf16, stem-off (the s2d stem is ~8% slower for
+    fused inference; checkpoints are param-identical either way) — matching
+    serve.main and bench.py, NOT runners._build_unet's training build."""
+    return UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
+                dtype=jnp.bfloat16)
 
 
 def main():
@@ -72,23 +70,20 @@ def main():
     print({k: v for k, v in out.items() if "decode" in k or "speedup" in k},
           flush=True)
 
-    task1, task3 = C.task1_holdout(), C.task3_lung()
+    task1 = C.task1_holdout()
     d = task1.preprocess.new_dim
-    seg_model = R._build_unet(task1)
-    lung224 = R._build_unet(task3)
-    lv224 = _load(lung224,
-                  "artifacts_tpu/q2_chain/unet_lung_fullframe_0.9907.msgpack",
-                  (d, d))
-    sv = _load(seg_model,
-               "artifacts_tpu/q2_chain/unet_infection_for_chain_0.8759.msgpack",
-               (d, d))
-    t3_112 = dataclasses.replace(
-        task3, preprocess=dataclasses.replace(task3.preprocess, new_dim=112),
-        model=dataclasses.replace(task3.model, in_size=112))
-    lung112 = R._build_unet(t3_112)
-    lv112 = _load(lung112,
-                  "artifacts_tpu/r3_chain_ld112/unet_lung_fullframe_0.9833.msgpack",
-                  (112, 112))
+    seg_model = _serving_unet(task1.model)
+    lung224 = _serving_unet(task1.model)
+    lung112 = _serving_unet(task1.model)
+    lv224 = _load_vars(lung224,
+                       "artifacts_tpu/q2_chain/unet_lung_fullframe_0.9907.msgpack",
+                       (d, d))
+    sv = _load_vars(seg_model,
+                    "artifacts_tpu/q2_chain/unet_infection_for_chain_0.8759.msgpack",
+                    (d, d))
+    lv112 = _load_vars(lung112,
+                       "artifacts_tpu/r3_chain_ld112/unet_lung_fullframe_0.9833.msgpack",
+                       (112, 112))
 
     arms = {
         "chain224": dict(lm=lung224, lv=lv224, lhw=None),

@@ -37,17 +37,11 @@ from onestop_tpu import config as C
 from onestop_tpu import runners as R
 from onestop_tpu.data.ingest import _kernel_mask, _to_u8
 from onestop_tpu.production import chained_infer
-from onestop_tpu.train.checkpoint import load_checkpoint
 
 KW = dict(n_synthetic=16, synth_hw=512, synth_slices=40, seed=7)
 
 
-def _load(model, path, in_hw):
-    tmpl = model.init({"params": jax.random.PRNGKey(0)},
-                      jnp.zeros((1,) + in_hw + (1,), jnp.float32), train=False)
-    params, bstats = load_checkpoint(path, tmpl["params"],
-                                     tmpl.get("batch_stats", {}))
-    return {"params": params, "batch_stats": bstats}
+from onestop_tpu.serve import _load_vars as _load  # shared checkpoint loader
 
 
 def _dice(pred, tgt):

@@ -116,6 +116,7 @@ def test_refine_boxes_bilinear_recovers_subgrid_edges():
     coarse = np.array([[xs.min(), ys.min(), xs.max() - xs.min() + 1,
                         ys.max() - ys.min() + 1]], np.float32)
     ref = refine_boxes_bilinear(jnp.asarray(probs, jnp.float32)[None],
+                                jnp.asarray(mask)[None, None],
                                 jnp.asarray(coarse)[None], t, (hh, ww))
     x, y, w, h = np.asarray(ref)[0, 0]
     # true crossings at cx +- r/2, cy +- r/2 (field is piecewise-linear, so
@@ -132,6 +133,30 @@ def test_refine_boxes_empty_restriction_falls_back():
     from onestop_tpu.ops.bbox import refine_boxes_bilinear
 
     probs = jnp.zeros((1, 16, 16), jnp.float32)
+    comps = jnp.zeros((1, 1, 16, 16), bool)
     boxes = jnp.asarray([[[2.0, 3.0, 4.0, 5.0]]])
-    out = np.asarray(refine_boxes_bilinear(probs, boxes, 0.5, (64, 64)))
+    out = np.asarray(refine_boxes_bilinear(probs, comps, boxes, 0.5, (64, 64)))
     np.testing.assert_allclose(out[0, 0], [8.0, 12.0, 16.0, 20.0])
+
+
+def test_refine_boxes_excludes_out_of_topk_regions():
+    """A supra-threshold region that CCL ranked OUT of the top-k must not
+    inflate the refined box — the reduction is restricted to the component's
+    own dilated footprint, not a window around its box."""
+    from onestop_tpu.ops.bbox import refine_boxes_bilinear
+
+    lh, hh = 32, 128
+    probs = np.zeros((lh, lh), np.float32)
+    probs[8:16, 8:16] = 1.0     # the selected component
+    probs[8:16, 18:20] = 1.0    # nearby blob (2 cells away), NOT selected
+    comp = np.zeros((lh, lh), bool)
+    comp[8:16, 8:16] = True
+    coarse = np.array([[[8.0, 8.0, 8.0, 8.0]]], np.float32)
+    out = np.asarray(refine_boxes_bilinear(
+        jnp.asarray(probs)[None], jnp.asarray(comp)[None, None],
+        jnp.asarray(coarse), 0.5, (hh, hh)))
+    x, y, w, h = out[0, 0]
+    # component right edge crosses 0.5 between centers col 15 and 16 ->
+    # raw col ~62-66; the blob starts at raw col ~70 and must be excluded
+    assert x + w <= 70, (x, w)
+    assert x >= 28 and y >= 28 and y + h <= 70
