@@ -31,7 +31,22 @@ def synthetic_case(
     hw: int = 512,
     n_slices: int = 40,
     infected: bool = True,
+    infection_z_band: tuple | None = None,
 ) -> SyntheticCase:
+    """One phantom volume.
+
+    infection_z_band: optional (lo_frac, hi_frac) of the slice axis that
+    bounds the infection's z-extent (blob centers restricted to the band,
+    z-radii capped to stay inside it). The Kaggle dataset's 20 volumes are
+    ALL infected and task2's 497 negatives are exactly their clean windowed
+    slices (ref task2:413-418); with the default full-span blobs an
+    all-infected phantom set yields only ~8% clean windowed slices, so
+    classification studies that want the reference's negative composition
+    (~24% clean slices of infected volumes) set a band like (0.30, 0.76).
+    ``None`` (default) is bit-identical to the historical generator for any
+    seed — REQUIRED so saved checkpoints' training datasets rebuild exactly
+    (CLAUDE.md round-3 note).
+    """
     rng = np.random.default_rng(seed)
     h = w = hw
     s = n_slices
@@ -61,15 +76,20 @@ def synthetic_case(
         for _ in range(n_blobs):
             lung = left if rng.random() < 0.5 else right
             ys, xs, zs = np.nonzero(lung)
+            if infection_z_band is not None:
+                z_lo, z_hi = (infection_z_band[0] * s, infection_z_band[1] * s)
+                in_band = (zs >= z_lo) & (zs <= z_hi)
+                ys, xs, zs = ys[in_band], xs[in_band], zs[in_band]
             if len(ys) == 0:
                 continue
             k = rng.integers(0, len(ys))
-            blob = _ellipsoid(
-                h, w, s, ys[k], xs[k], zs[k],
-                max(h * rng.uniform(0.04, 0.11), 3),
-                max(w * rng.uniform(0.04, 0.10), 3),
-                max(s * rng.uniform(0.15, 0.35), 2),
-            )
+            # rng draw order matches the band-None historical stream exactly
+            ry_ = max(h * rng.uniform(0.04, 0.11), 3)
+            rx_ = max(w * rng.uniform(0.04, 0.10), 3)
+            rz_ = max(s * rng.uniform(0.15, 0.35), 2)
+            if infection_z_band is not None:
+                rz_ = max(min(rz_, zs[k] - z_lo, z_hi - zs[k]), 1.0)
+            blob = _ellipsoid(h, w, s, ys[k], xs[k], zs[k], ry_, rx_, rz_)
             infection |= blob & (left | right)
     # ground-glass-like consolidations: distinctly denser than lung tissue
     ct[infection] = -150.0 + 60.0 * rng.standard_normal(int(infection.sum()))
@@ -90,6 +110,7 @@ def synthetic_dataset(
     n_slices: int = 40,
     seed: int = 0,
     infected_fraction: float = 0.9,
+    infection_z_band: tuple | None = None,
 ) -> list[SyntheticCase]:
     rng = np.random.default_rng(seed)
     return [
@@ -98,6 +119,7 @@ def synthetic_dataset(
             hw=hw,
             n_slices=n_slices,
             infected=rng.random() < infected_fraction,
+            infection_z_band=infection_z_band,
         )
         for _ in range(n_cases)
     ]

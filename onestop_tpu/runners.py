@@ -57,7 +57,7 @@ from onestop_tpu.parallel.cv import cross_validate
 
 def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
                         synth_slices=16, seed=0, with_infection=True,
-                        infected_fraction=0.9):
+                        infected_fraction=0.9, infection_z_band=None):
     """Yield (ct, lung[, infection]) slice stacks per case.
 
     data_dir: Kaggle layout — metadata.csv with ct_scan/lung_mask/
@@ -82,7 +82,8 @@ def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
     else:
         for case in synthetic_dataset(n_cases=n_synthetic, hw=synth_hw,
                                       n_slices=synth_slices, seed=seed,
-                                      infected_fraction=infected_fraction):
+                                      infected_fraction=infected_fraction,
+                                      infection_z_band=infection_z_band):
             ct = load_slices(case.ct, cfg.img_size, cfg.slice_lo, cfg.slice_hi)
             lung = load_slices(case.lung_mask, cfg.img_size, cfg.slice_lo, cfg.slice_hi)
             if with_infection:
@@ -119,10 +120,11 @@ def _source_key(data_dir, kw) -> str:
     if data_dir is not None:
         return f"dir:{data_dir}"
     return ("synthetic:n={n_synthetic},hw={synth_hw},s={synth_slices},"
-            "seed={seed},inf={inf}").format(
+            "seed={seed},inf={inf},zband={zband}").format(
         n_synthetic=kw.get("n_synthetic", 4), synth_hw=kw.get("synth_hw", 160),
         synth_slices=kw.get("synth_slices", 16), seed=kw.get("seed", 0),
-        inf=kw.get("infected_fraction", 0.9))
+        inf=kw.get("infected_fraction", 0.9),
+        zband=kw.get("infection_z_band", None))
 
 
 def _maybe_cached(build_fn, cache_dir, task_name: str, pre_cfg, names,

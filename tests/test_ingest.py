@@ -95,3 +95,27 @@ def test_build_lung_dataset(slices):
     cts, lungs = build_lung_dataset([(ct, lung)], CFG)
     assert cts.shape == lungs.shape and cts.shape[1:] == (224, 224, 1)
     assert lungs.max() <= 1.0 and lungs.min() >= 0.0
+
+
+def test_synthetic_infection_z_band():
+    """infection_z_band bounds the infection's z-extent (the knob that gives
+    all-infected phantom sets the reference's negative composition — clean
+    windowed slices of infected volumes, ref task2:413-418), and band=None
+    stays bit-identical to the historical generator (saved checkpoints'
+    training datasets must rebuild exactly)."""
+    a = synthetic_case(seed=5, hw=96, n_slices=20)
+    b = synthetic_case(seed=5, hw=96, n_slices=20, infection_z_band=None)
+    assert (a.ct == b.ct).all()
+    assert (a.infection_mask == b.infection_mask).all()
+
+    band = (0.3, 0.7)
+    c = synthetic_case(seed=5, hw=96, n_slices=20, infected=True,
+                       infection_z_band=band)
+    per_slice = c.infection_mask.sum(axis=(0, 1))
+    assert per_slice.sum() > 0
+    infected_z = np.nonzero(per_slice)[0]
+    # blob centers in-band with z-radii capped to the band => the infected
+    # z-range stays within the band (ellipsoid extent is strictly < radius
+    # at the boundary, allow the half-voxel discretization)
+    assert infected_z.min() >= int(band[0] * 20) - 1
+    assert infected_z.max() <= int(np.ceil(band[1] * 20)) + 1
