@@ -20,9 +20,11 @@ class SyntheticCase:
 
 
 def _ellipsoid(h, w, s, cy, cx, cz, ry, rx, rz):
-    yy, xx, zz = np.meshgrid(
-        np.arange(h), np.arange(w), np.arange(s), indexing="ij"
-    )
+    # open (broadcast) grids: same values as a full meshgrid at 1/3 the
+    # memory traffic — at 512x512x40 this dominates phantom-gen time
+    yy = np.arange(h)[:, None, None]
+    xx = np.arange(w)[None, :, None]
+    zz = np.arange(s)[None, None, :]
     return (((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 + ((zz - cz) / rz) ** 2) <= 1.0
 
 
