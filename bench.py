@@ -266,7 +266,9 @@ def main():
                             ("int8", ["--int8"]),
                             ("chained_noGT_fast112", ["--chained", "--lung-dim", "112"]),
                             ("chained_noGT_fast112_int8seg",
-                             ["--chained", "--lung-dim", "112", "--int8"])):
+                             ["--chained", "--lung-dim", "112", "--int8"]),
+                            ("one_stop", ["--one-stop"]),
+                            ("one_stop_int8", ["--one-stop", "--int8"])):
             if spent > budget_s:
                 break
             t0 = time.perf_counter()
