@@ -133,6 +133,45 @@ def plot_probability_distribution(y_true, y_score, threshold=0.5, path=None):
     return fig
 
 
+def plot_reliability_diagram(y_true, y_score, y_calibrated=None,
+                             n_bins: int = 15, path=None):
+    """Confidence-binned observed frequency vs mean confidence (the ECE
+    panel), raw and — when given — Platt-calibrated probabilities
+    (``metrics.classification.fit_platt``). The diagonal is perfect
+    calibration; the task2 classifier's saturated sigmoid shows as points
+    far below the diagonal at the right edge."""
+    plt = _plt()
+    y = np.asarray(y_true).ravel() > 0.5
+    edges = np.linspace(0.0, 1.0, n_bins + 1)
+    mid = (edges[:-1] + edges[1:]) / 2
+
+    def _bins(p):
+        p = np.asarray(p).ravel()
+        conf, acc = np.full(n_bins, np.nan), np.full(n_bins, np.nan)
+        for i in range(n_bins):
+            m = ((p >= edges[i]) if i == 0 else (p > edges[i])) & (p <= edges[i + 1])
+            if m.any():
+                conf[i], acc[i] = p[m].mean(), y[m].mean()
+        return conf, acc
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    ax.plot([0, 1], [0, 1], "--", color="gray", label="perfect")
+    c, a = _bins(y_score)
+    ax.plot(c, a, "o-", label="raw")
+    if y_calibrated is not None:
+        c2, a2 = _bins(y_calibrated)
+        ax.plot(c2, a2, "s-", label="calibrated")
+    ax.set_xlabel("mean predicted probability (bin)")
+    ax.set_ylabel("observed infected fraction")
+    ax.set_xticks(mid, minor=True)
+    ax.legend()
+    ax.grid(True)
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_clahe_demo(img01, enhanced=None, path=None):
     """CLAHE before/after demo: original CT + histogram, enhanced CT +
     histogram in a 2×2 grid — the reference's ``clahe_enhancer(img, demo=1)``

@@ -8,6 +8,11 @@ from onestop_tpu.metrics.classification import (
     roc_curve_points,
     confusion_at_threshold,
     classification_report,
+    fit_temperature,
+    apply_temperature,
+    fit_platt,
+    apply_platt,
+    expected_calibration_error,
 )
 
 __all__ = [
@@ -17,4 +22,9 @@ __all__ = [
     "roc_curve_points",
     "confusion_at_threshold",
     "classification_report",
+    "fit_temperature",
+    "apply_temperature",
+    "fit_platt",
+    "apply_platt",
+    "expected_calibration_error",
 ]

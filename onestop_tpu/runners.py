@@ -633,6 +633,7 @@ def runner_classification(
         "report": report["at_threshold"],
         "best_threshold": report["best_threshold"],
         "at_best_threshold": report["at_best_threshold"],
+        "calibration": report["calibration"],
         "train_seconds": train_time, "checkpoint": str(ckpt),
         "n_train": len(x_train), "n_val": len(x_val),
         "class_balance": [int((y == 0).sum()), int((y == 1).sum())],
@@ -651,6 +652,13 @@ def runner_classification(
         viz.plot_probability_distribution(
             y_val.ravel(), probs, threshold=report["best_threshold"],
             path=out_path / "classifier_prob_dist.png")
+        from onestop_tpu.metrics.classification import apply_platt
+
+        cal = report["calibration"]
+        viz.plot_reliability_diagram(
+            y_val.ravel(), probs,
+            apply_platt(probs, cal["platt_a"], cal["platt_b"]),
+            path=out_path / "classifier_reliability.png")
     return {**results, "history": history, "state": state, "trainer": trainer,
             "roc": (fpr, tpr), "val": (x_val, y_val, probs)}
 

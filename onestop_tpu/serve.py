@@ -102,6 +102,7 @@ def serve_volumes(
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
     keep_masks: bool = False,
+    cls_calibration: tuple[float, float] | None = None,
     interpret: bool = False,
 ):
     """Serve CT volumes through the no-GT chain; yields ``VolumeReport`` per
@@ -227,6 +228,14 @@ def serve_volumes(
             b2 = np.concatenate([np.asarray(o[4]) for o in outs])[:n]
             cls_p = (np.concatenate([np.asarray(o[2]) for o in outs])[:n]
                      if with_cls else None)
+            if cls_p is not None and cls_calibration is not None:
+                # Platt (a, b) from a labeled validation run — see
+                # metrics.classification.fit_platt / classification_report's
+                # "calibration" block; host-side on O(slices) scalars
+                from onestop_tpu.metrics.classification import apply_platt
+
+                cls_p = apply_platt(cls_p.ravel(), *cls_calibration).astype(
+                    np.float32)
             masks = (np.concatenate(
                 [np.asarray(o[0])[..., 0] for o in outs])[:n]
                 if keep_masks else None)
@@ -334,6 +343,11 @@ def main(argv=None):
     p.add_argument("--block", type=int, default=64)
     p.add_argument("--prefetch", type=int, default=2)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--cls-calibration", nargs=2, type=float, default=None,
+                   metavar=("A", "B"),
+                   help="Platt (a, b) for the classifier probabilities — the "
+                        "'calibration' block of a labeled run's "
+                        "classification_report.json")
     p.add_argument("--no-refine-boxes", action="store_true")
     p.add_argument("--out", default=None, help="append JSONL summaries here")
     args = p.parse_args(argv)
@@ -369,6 +383,8 @@ def main(argv=None):
               threshold=args.threshold,
               lung_hw=None if lung_dim == d else (lung_dim, lung_dim),
               refine_boxes=not args.no_refine_boxes,
+              cls_calibration=(tuple(args.cls_calibration)
+                               if args.cls_calibration else None),
               img_size=task1.preprocess.img_size)
     quant = None
     if args.int8:

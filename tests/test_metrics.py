@@ -97,3 +97,41 @@ def test_classification_best_threshold_search(rng):
     assert 0.75 < rep["best_threshold"] < 0.93
     assert rep["at_best_threshold"]["accuracy"] > rep["at_threshold"][0.5]["accuracy"]
     assert rep["at_best_threshold"]["accuracy"] > 0.97
+
+
+def test_temperature_scaling_recovers_overconfidence(rng):
+    """Scores generated as sigmoid(T0 * z) for true logits z are overconfident
+    by exactly T0; fit_temperature must recover ~T0, calibration must cut ECE,
+    and AUC must be invariant (the map is monotone)."""
+    from onestop_tpu.metrics.classification import (
+        apply_temperature, expected_calibration_error, fit_temperature, roc_auc)
+
+    t0 = 4.0
+    z = rng.normal(0.0, 1.5, 4000)            # true log-odds
+    y = (rng.random(4000) < 1 / (1 + np.exp(-z))).astype(np.float32)
+    s = 1 / (1 + np.exp(-t0 * z))             # overconfident by factor t0
+    t_fit = fit_temperature(y, s)
+    assert t_fit == pytest.approx(t0, rel=0.15)
+    cal = apply_temperature(s, t_fit)
+    assert expected_calibration_error(y, cal) < expected_calibration_error(y, s) / 2
+    a_raw = float(roc_auc(jnp.asarray(y), jnp.asarray(s)))
+    a_cal = float(roc_auc(jnp.asarray(y), jnp.asarray(cal)))
+    assert a_cal == pytest.approx(a_raw, abs=1e-6)
+
+
+def test_classification_report_calibration_block(rng):
+    """The report's calibration block: saturated-high scores (the task2
+    classifier's documented failure mode) get T > 1 and a lower ECE."""
+    from onestop_tpu.metrics.classification import classification_report
+
+    y = (rng.random(500) > 0.25).astype(np.float32)
+    s = np.where(y > 0.5, 0.997, 0.95) + rng.normal(0, 0.002, 500)  # saturated
+    rep = classification_report(y, np.clip(s, 1e-6, 1 - 1e-6))
+    cal = rep["calibration"]
+    assert cal["temperature"] > 1.0
+    # temperature alone cannot re-center a SHIFTED saturated distribution
+    # (logit sign is T-invariant) — the report uses Platt (a*z + b), whose
+    # bias term moves the 0.95-parked negatives back below 0.5
+    assert cal["ece_calibrated"] < cal["ece_raw"] / 2
+    assert cal["at_0.50_calibrated"]["accuracy"] > rep["at_threshold"][0.5]["accuracy"]
+    assert "at_0.50_calibrated" in cal

@@ -62,9 +62,12 @@ def test_classification(tmp_path):
     assert 0.5 in res["report"] and 0.81 in res["report"]
     for k in ("accuracy", "precision", "recall", "f1", "confusion"):
         assert k in res["report"][0.5]
+    cal = res["calibration"]
+    assert cal["temperature"] > 0 and "platt_a" in cal
+    assert 0 <= cal["ece_calibrated"] <= 1
     for fig in ("classifier_training_curves.png", "classifier_roc.png",
                 "classifier_confusion_0.50.png", "classifier_confusion_0.81.png",
-                "classifier_prob_dist.png"):
+                "classifier_prob_dist.png", "classifier_reliability.png"):
         assert (tmp_path / fig).exists(), fig
 
 

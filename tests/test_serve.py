@@ -96,3 +96,23 @@ def test_serve_volumes_int8(volumes, models):
         volumes[:1], lung, vl, seg, vs, quant=quant, img_size=HW, block=8,
         model_hw=(HW, HW), interpret=_INTERPRET)))
     assert isinstance(r, VolumeReport) and r.n_slices > 0
+
+
+def test_serve_volumes_cls_calibration(volumes, models):
+    """cls_calibration=(a, b) Platt-maps the classifier probabilities
+    host-side: probs must equal apply_platt(uncalibrated) exactly, and
+    segmentation outputs must be untouched."""
+    from onestop_tpu.metrics.classification import apply_platt
+
+    lung, vl, seg, vs, cls, vc = models
+    kw = dict(img_size=HW, block=8, model_hw=(HW, HW), interpret=_INTERPRET)
+    raw = next(iter(serve_volumes(volumes[:1], lung, vl, seg, vs, cls, vc,
+                                  **kw)))
+    a, b = 0.7, -2.0
+    cal = next(iter(serve_volumes(volumes[:1], lung, vl, seg, vs, cls, vc,
+                                  cls_calibration=(a, b), **kw)))
+    np.testing.assert_allclose(
+        cal.cls_probs, apply_platt(raw.cls_probs, a, b).astype(np.float32),
+        rtol=1e-5)
+    np.testing.assert_array_equal(cal.infection_fraction,
+                                  raw.infection_fraction)
