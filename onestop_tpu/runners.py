@@ -856,6 +856,10 @@ def runner_production_chain(
             results["cls_auc"] = float(roc_auc(y_true.astype(np.float32),
                                                cls_probs))
         results["cls_val_auc"] = cls_res["auc"]
+        # the classifier run's Platt constants, fitted on ITS validation
+        # split — paste into `python -m onestop_tpu.serve --cls-calibration`
+        results["cls_calibration"] = [cls_res["calibration"]["platt_a"],
+                                      cls_res["calibration"]["platt_b"]]
     _save_json(out_path / "production_chain_report.json", results)
     if save_figures:
         from onestop_tpu.analysis import viz

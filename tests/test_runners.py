@@ -137,6 +137,8 @@ def test_production_chain_runner_one_stop_classify(tmp_path):
     assert 0 <= res["cls_accuracy_at_0.5"] <= 1
     assert res["classifier"] is not None
     assert 0 <= res["cls_val_auc"] <= 1
+    a, b = res["cls_calibration"]          # serve --cls-calibration A B
+    assert np.isfinite(a) and np.isfinite(b)
     # the classifier rode the chain without perturbing segmentation (the
     # runner asserts mask equality internally); its own report also exists
     assert (tmp_path / "production_chain_report.json").exists()
