@@ -94,6 +94,14 @@ def main():
                 pv = np.asarray(
                     res["trainer"].predict(res["state"], xv)).ravel()
                 per_vol.append(float(roc_auc(yv, pv)))
+        # does the val-fitted Platt calibration TRANSFER? (AUC is invariant
+        # under the monotone map — this measures probability quality only)
+        from onestop_tpu.metrics.classification import (
+            apply_platt, expected_calibration_error)
+
+        a_cal, b_cal = (res["calibration"]["platt_a"],
+                        res["calibration"]["platt_b"])
+        probs_cal = apply_platt(probs, a_cal, b_cal)
         out["arms"][name] = {
             "train_law": {k: v for k, v in
                           (ARM_A if name == "A" else ARM_B).items()},
@@ -105,6 +113,12 @@ def main():
             "held_out_mean_prob_neg": float(probs[yh == 0].mean()),
             "held_out_mean_prob_pos": float(probs[yh == 1].mean()),
             "held_out_min_prob": float(probs.min()),
+            "platt_from_val": [a_cal, b_cal],
+            "held_out_ece_raw": expected_calibration_error(yh, probs),
+            "held_out_ece_val_platt": expected_calibration_error(yh, probs_cal),
+            "held_out_acc_0.5_raw": float(((probs > 0.5) == (yh > 0.5)).mean()),
+            "held_out_acc_0.5_val_platt": float(
+                ((probs_cal > 0.5) == (yh > 0.5)).mean()),
         }
         a = out["arms"][name]
         print(f"arm {name}: val AUC {a['val_auc_in_distribution']:.4f} | "
