@@ -95,7 +95,7 @@ def fused_infer_sharded(
     shard_map (not bare jit-with-shardings) because GSPMD cannot partition a
     ``pallas_call``; inside shard_map each device traces its own kernel over
     its local shard. The batch must divide the axis size."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def fn(x, c1, c2):
@@ -103,7 +103,7 @@ def fused_infer_sharded(
 
     return shard_map(fn, mesh=mesh,
                      in_specs=(P(axis), P(axis), P(axis)),
-                     out_specs=P(axis), check_rep=False)(imgs_u8, boxes1, boxes2)
+                     out_specs=P(axis), check_vma=False)(imgs_u8, boxes1, boxes2)
 
 
 def lung_boxes_batch(masks01: Array) -> tuple[Array, Array]:

@@ -237,7 +237,7 @@ def chained_infer_sharded(
     (GSPMD cannot partition the Pallas ``pallas_call``); serving is
     embarrassingly data-parallel, so no collectives appear. The batch must
     divide the axis size."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def fn(x):
@@ -246,7 +246,7 @@ def chained_infer_sharded(
 
     return shard_map(fn, mesh=mesh, in_specs=(P(axis),),
                      out_specs=(P(axis), P(axis), P(axis)),
-                     check_rep=False)(raw_u8)
+                     check_vma=False)(raw_u8)
 
 
 def one_stop_infer_sharded(
@@ -265,7 +265,7 @@ def one_stop_infer_sharded(
     classification) over a device mesh — ``chained_infer_sharded`` with the
     classifier riding stage 3. Returns ``(masks, cls_probs, boxes1, boxes2)``
     with every output sharded over ``axis``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def fn(x):
@@ -274,7 +274,7 @@ def one_stop_infer_sharded(
 
     return shard_map(fn, mesh=mesh, in_specs=(P(axis),),
                      out_specs=(P(axis), P(axis), P(axis), P(axis)),
-                     check_rep=False)(raw_u8)
+                     check_vma=False)(raw_u8)
 
 
 @functools.partial(jax.jit, static_argnames=("new_dim", "use_pallas"))
