@@ -135,3 +135,23 @@ def test_classification_report_calibration_block(rng):
     assert cal["ece_calibrated"] < cal["ece_raw"] / 2
     assert cal["at_0.50_calibrated"]["accuracy"] > rep["at_threshold"][0.5]["accuracy"]
     assert "at_0.50_calibrated" in cal
+
+def test_platt_fit_matches_sklearn_logistic_regression(rng):
+    """fit_platt IS unregularized logistic regression on the logit feature —
+    pin the Newton solver against sklearn's (golden), on a non-separable
+    sample where the MLE is finite and unique."""
+    from sklearn.linear_model import LogisticRegression
+
+    from onestop_tpu.metrics.classification import apply_platt, fit_platt
+
+    z = rng.normal(0.0, 2.0, 3000)
+    y = (rng.random(3000) < 1 / (1 + np.exp(-(0.6 * z - 0.8)))).astype(np.float64)
+    p = 1 / (1 + np.exp(-z))
+    a, b = fit_platt(y, p)
+    sk = LogisticRegression(penalty=None, tol=1e-10, max_iter=1000)
+    sk.fit(z[:, None], y)
+    assert a == pytest.approx(float(sk.coef_[0, 0]), rel=1e-4)
+    assert b == pytest.approx(float(sk.intercept_[0]), rel=1e-4)
+    cal = apply_platt(p, a, b)
+    skp = sk.predict_proba(z[:, None])[:, 1]
+    np.testing.assert_allclose(cal, skp, atol=1e-6)
