@@ -70,12 +70,34 @@ def main():
     if args.one_stop:
         args.chained = True  # one-stop IS the chained pipeline + classifier
 
+    # Backend-init watchdog: a wedged TPU tunnel (CLAUDE.md "wedge mode")
+    # hangs the first backend touch FOREVER with no exception to catch. If
+    # init doesn't complete in 10 min (healthy init through the tunnel is
+    # seconds; this guards init only, never compiles), emit a diagnostic
+    # JSON line so a driver/CI run records WHY there's no number, then die.
+    import threading
+
+    _init_ok = threading.Event()
+
+    def _watchdog():
+        if not _init_ok.wait(600.0):
+            print(json.dumps({
+                "metric": "fused_preproc+unet_infer_256px_slices",
+                "value": 0.0, "unit": "slices/sec/chip", "vs_baseline": 0.0,
+                "error": "TPU backend init did not complete within 600 s — "
+                         "tunnel wedge (infra), not a framework failure; "
+                         "see CLAUDE.md wedge protocol"}), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
     from onestop_tpu.models import UNet
     from onestop_tpu.ops.pipeline import fused_infer
 
     backend = jax.default_backend()
+    _init_ok.set()
     interpret = backend == "cpu"
     total, chunk = args.total, args.chunk
     if interpret:  # CPU smoke: keep it small
