@@ -50,6 +50,11 @@ def main(argv=None):
                              "and serve the full one-stop chain (lung seg + "
                              "infection seg + per-slice classification, one "
                              "jit, no GT)")
+    parser.add_argument("--qat", action="store_true",
+                        help="quantization-aware training: fake-quantize the "
+                             "3x3 convs in every forward (train/qat.py) so "
+                             "the checkpoint is robust to int8 serving — "
+                             "int8 sensitivity is per-checkpoint")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
@@ -73,6 +78,8 @@ def main(argv=None):
         extra["lung_dim"] = args.lung_dim
     if args.classify and token == "seven":
         extra["classify"] = True
+    if args.qat:
+        extra["qat"] = True
     results = runner(data_dir=args.data_dir, out_dir=args.out_dir,
                      small_run=args.small_run, verbose=args.verbose,
                      cache_dir=args.cache_dir, **extra)

@@ -100,6 +100,13 @@ class TrainConfig:
     init_seed: int = 0
     use_class_weight: bool = False     # task2: True ('balanced')
     monitor: Tuple[str, ...] = ("val_dice_coeff", "val_loss")
+    # Quantization-aware training (train/qat.py): fake-quantize every 3×3
+    # conv in the forward (straight-through gradients) so the checkpoint is
+    # robust to int8 serving — int8 sensitivity is per-checkpoint
+    # (artifacts_tpu/round3_fast112_int8_diag.json). Eval/predict also run
+    # fake-quantized so monitors select the best QUANTIZED model. No
+    # reference counterpart (deployment-path capability).
+    qat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

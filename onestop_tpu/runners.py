@@ -107,6 +107,16 @@ def _small(task_cfg: C.TaskConfig, epochs: int) -> C.TaskConfig:
     )
 
 
+def _pop_qat(task_cfg: C.TaskConfig, kw) -> C.TaskConfig:
+    """Every runner accepts ``qat=True``: quantization-aware training
+    (train/qat.py) so the produced checkpoint is robust to the int8 serving
+    path — int8 sensitivity is per-checkpoint (RESULTS.md round-3 item 11)."""
+    if kw.pop("qat", False):
+        task_cfg = dataclasses.replace(
+            task_cfg, train=dataclasses.replace(task_cfg.train, qat=True))
+    return task_cfg
+
+
 def _out(out_dir) -> Path:
     p = Path(out_dir if out_dir is not None else "artifacts")
     p.mkdir(parents=True, exist_ok=True)
@@ -468,6 +478,7 @@ def holdout_runner_unet_infection_segmentation(
     task_cfg = C.task1_holdout()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
+    task_cfg = _pop_qat(task_cfg, kw)
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     model = _build_unet(task_cfg)
     res = _run_holdout_segmentation(model, task_cfg, x, y, out_dir,
@@ -509,6 +520,7 @@ def three_fold_runner_unet_infection_segmentation(
         task_cfg = _small(task_cfg, epochs=3)
         task_cfg = dataclasses.replace(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(3, 2, 2)))
+    task_cfg = _pop_qat(task_cfg, kw)
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
                                 mesh=mesh, verbose=verbose, cv_mode=cv_mode,
@@ -525,6 +537,7 @@ def four_fold_runner_unet_infection_segmentation(
         task_cfg = _small(task_cfg, epochs=2)
         task_cfg = dataclasses.replace(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(2, 2, 2, 2)))
+    task_cfg = _pop_qat(task_cfg, kw)
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",
                                 mesh=mesh, verbose=verbose, cv_mode=cv_mode,
@@ -539,6 +552,7 @@ def holdout_runner_unetplusplus_infection_segmentation(
     task_cfg = C.task1_unetpp()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
+    task_cfg = _pop_qat(task_cfg, kw)
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     m = task_cfg.model
     model = UNetPP(widths=tuple(m.unetpp_widths),
@@ -569,6 +583,7 @@ def runner_classification(
     task_cfg = C.task2_classification()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 4))
+    task_cfg = _pop_qat(task_cfg, kw)
     out_path = _out(out_dir)
     if data is None:
         def _build():
@@ -672,6 +687,7 @@ def runner_lung_segmentation(
     task_cfg = C.task3_lung()
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 3))
+    task_cfg = _pop_qat(task_cfg, kw)
     if data is None:
         def _build():
             pairs = list(_case_slice_triples(data_dir, task_cfg.preprocess,
@@ -723,6 +739,10 @@ def runner_production_chain(
         epochs = kw.pop("epochs", 3)
         task1 = _small(task1, epochs=epochs)
         task3 = _small(task3, epochs=epochs)
+    qat = kw.pop("qat", False)     # QAT for every model the chain trains
+    if qat:
+        task1 = _pop_qat(task1, {"qat": True})
+        task3 = _pop_qat(task3, {"qat": True})
     if lung_dim is not None:
         # stage-1 lung model at reduced resolution (chained_infer lung_hw):
         # boxes only need lung-scale precision; ~(dim/new_dim)^2 of the
@@ -782,6 +802,8 @@ def runner_production_chain(
             cache_dir, "chain_task2", task2.preprocess,
             ("cts_cropped_lungs_224", "y_label"), source_key=src_key)
         cls_kw = {"epochs": task1.train.epochs} if small_run else {}
+        if qat:
+            cls_kw["qat"] = True
         cls_res = runner_classification(
             data=(x_cls, y_cls), out_dir=out_dir, small_run=small_run,
             verbose=verbose, mesh=mesh, save_figures=save_figures, **cls_kw)

@@ -160,6 +160,19 @@ class Trainer:
     def _build(self):
         model, tx = self.model, self.tx
         dp = self.dp_axis if self.dp_size > 1 else None
+        if getattr(self.cfg, "qat", False):
+            # quantization-aware training: every forward (train, eval AND
+            # predict — monitors must select the best QUANTIZED model) runs
+            # with fake-quantized 3×3 convs; see train/qat.py
+            from onestop_tpu.train.qat import qat_methods
+
+            _plain_apply = model.apply
+
+            def _qat_apply(*a, **kw):
+                with qat_methods():
+                    return _plain_apply(*a, **kw)
+
+            model = type("_QATModel", (), {"apply": staticmethod(_qat_apply)})()
         loss_fn = _with_axis(self.loss_fn, dp)
         metric_fn = _with_axis(L.dice_coeff if self.seg_metrics else L.f1_metric, dp)
 
