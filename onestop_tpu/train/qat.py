@@ -19,7 +19,10 @@ serve_int8's serving quantizer exactly):
   through (``v + stop_gradient(fq(v) − v)``);
 - activation scale ``sx`` = per-tensor live-batch amax/127 (serving uses a
   calibration-set amax — the small train/serve scale gap is the standard
-  QAT protocol and is covered by the serving gate);
+  QAT protocol and is covered by the serving gate); under data-parallel
+  training the amax is per-shard (computed inside the shard_map'd program),
+  so DP-QAT is not bit-equal to single-device QAT — same training-noise
+  class as the per-batch scale itself (tests/test_qat.py DP test);
 - kernel scale = per-output-channel amax/127, recomputed from the live
   weights each step (exactly ``serve_int8.calibrate_and_quantize``'s law);
 - BatchNorm, ConvTranspose, Dense, and the 1×1 sigmoid heads stay in the

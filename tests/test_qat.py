@@ -161,3 +161,45 @@ def test_runner_accepts_qat_flag(tmp_path):
         {"params": st.params, "batch_stats": st.batch_stats},
         jnp.asarray(x), train=False))
     assert not np.array_equal(pred, plain)
+
+
+def test_qat_composes_with_dp_mesh(rng):
+    """QAT under 8-way data-parallel training: the flax interceptor must fire
+    inside the shard_map'd train/eval/predict programs (sync-BN engaged).
+    Exact single-device equality is NOT expected — the live activation amax
+    is per-shard under DP — so assert convergence + that prediction really
+    is fake-quantized (differs from the plain forward, tracks the per-shard
+    qat forward loosely)."""
+    from onestop_tpu.parallel import make_mesh
+
+    n, hw = 24, 16
+    masks = np.zeros((n, hw, hw, 1), np.float32)
+    for i in range(n):
+        y0, x0 = 2 + i % 8, 2 + (3 * i) % 8
+        masks[i, y0:y0 + 4, x0:x0 + 4] = 1.0
+    x = np.clip(masks * 0.8 + 0.15 * rng.random((n, hw, hw, 1)), 0, 1
+                ).astype(np.float32)
+
+    cfg = TrainConfig(batch_size=8, epochs=3, schedule="constant",
+                      learning_rate=1e-3, qat=True)
+    model = UNet(widths=(4,), bridge=8, dropout=0.0)
+    mesh = make_mesh(n_folds=1)            # {'fold': 1, 'data': 8}
+    tr = Trainer(model, cfg, mesh=mesh)
+    assert tr.dp_size == 8
+    assert tr.model.bn_axis == "data"      # sync-BN still engaged under QAT
+    state = tr.init_state(jax.random.PRNGKey(0), x.shape[1:])
+    state, hist, _ = tr.fit(state, x, masks, x, masks)
+    assert np.isfinite(hist["loss"]).all()
+    assert hist["loss"][-1] < hist["loss"][0]
+
+    pred = tr.predict(state, x[:8])
+    plain = np.asarray(tr.model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(x[:8]), train=False))
+    assert not np.array_equal(pred, plain)   # quantization really happened
+    with qat_methods():
+        fq = np.asarray(tr.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            jnp.asarray(x[:8]), train=False))
+    # per-shard vs whole-batch activation scales: close but not identical
+    assert np.abs(pred - fq).mean() < 0.05
