@@ -112,6 +112,14 @@ class FoldParallelTrainer:
 
     def _build(self):
         model, tx = self.model, self.tx
+        if getattr(self.cfg, "qat", False):
+            # quantization-aware training inside the fold-parallel programs:
+            # same hook as train.Trainer (see train/qat.py) so '--qat' on the
+            # CV runners trains/evaluates/predicts fake-quantized too
+            from onestop_tpu.train.qat import qat_apply_model
+
+            model = qat_apply_model(model)
+        self._apply_model = model  # what predict_fold must forward through
         dp = "data" if self.dp_size > 1 else None
         from onestop_tpu.train.trainer import _with_axis
         loss_fn = _with_axis(self.loss_fn, dp)
@@ -435,7 +443,7 @@ class FoldParallelTrainer:
         xp = jnp.concatenate([jnp.asarray(x), jnp.zeros((pad,) + x.shape[1:], jnp.float32)])
         xp = xp.reshape((steps, bs) + x.shape[1:])
         def step(_, xb):
-            return None, self.model.apply(
+            return None, self._apply_model.apply(
                 {"params": fold_params, "batch_stats": fold_batch_stats}, xb, train=False)
         _, out = jax.lax.scan(step, None, xp)
         return np.asarray(out.reshape((steps * bs,) + out.shape[2:])[:n])

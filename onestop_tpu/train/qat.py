@@ -99,3 +99,19 @@ def qat_methods(quantize_stem: bool = True):
     """Context manager: ``with qat_methods(): model.apply(...)`` runs the
     forward with fake-quantized convs (works under jit/scan tracing)."""
     return nn.intercept_methods(qat_interceptor(quantize_stem))
+
+
+def qat_apply_model(model, quantize_stem: bool = True):
+    """Apply-only holder whose ``.apply`` runs the model's forward under
+    ``qat_methods()`` — the one hook both trainers (train.Trainer and
+    parallel.cv.FoldParallelTrainer) route every train/eval/predict forward
+    through when ``cfg.qat``. Only ``.apply`` is exposed: init and module
+    attributes (bn_axis, widths, ...) must keep coming from the real flax
+    module, which stays un-wrapped on the trainer."""
+    _plain_apply = model.apply
+
+    def _qat_apply(*a, **kw):
+        with qat_methods(quantize_stem):
+            return _plain_apply(*a, **kw)
+
+    return type("_QATModel", (), {"apply": staticmethod(_qat_apply)})()

@@ -164,15 +164,9 @@ class Trainer:
             # quantization-aware training: every forward (train, eval AND
             # predict — monitors must select the best QUANTIZED model) runs
             # with fake-quantized 3×3 convs; see train/qat.py
-            from onestop_tpu.train.qat import qat_methods
+            from onestop_tpu.train.qat import qat_apply_model
 
-            _plain_apply = model.apply
-
-            def _qat_apply(*a, **kw):
-                with qat_methods():
-                    return _plain_apply(*a, **kw)
-
-            model = type("_QATModel", (), {"apply": staticmethod(_qat_apply)})()
+            model = qat_apply_model(model)
         loss_fn = _with_axis(self.loss_fn, dp)
         metric_fn = _with_axis(L.dice_coeff if self.seg_metrics else L.f1_metric, dp)
 

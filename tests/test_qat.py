@@ -203,3 +203,45 @@ def test_qat_composes_with_dp_mesh(rng):
             jnp.asarray(x[:8]), train=False))
     # per-shard vs whole-batch activation scales: close but not identical
     assert np.abs(pred - fq).mean() < 0.05
+
+
+def test_qat_reaches_fold_parallel_cv(rng):
+    """'--qat' on the CV runners must actually fake-quantize the
+    fold-parallel programs (FoldParallelTrainer), not just train.Trainer:
+    train on the mesh with qat on/off from the same init and assert the
+    trajectories diverge, and that predict_fold runs the fake-quant forward."""
+    from onestop_tpu.parallel import cross_validate, make_mesh
+    from onestop_tpu.data.splits import kfold_indices
+
+    n, hw = 24, 16
+    masks = np.zeros((n, hw, hw, 1), np.float32)
+    for i in range(n):
+        y0, x0 = 2 + i % 8, 2 + (3 * i) % 8
+        masks[i, y0:y0 + 4, x0:x0 + 4] = 1.0
+    x = np.clip(masks * 0.8 + 0.15 * rng.random((n, hw, hw, 1)), 0, 1
+                ).astype(np.float32)
+    folds = kfold_indices(n, 4)
+    mesh = make_mesh(n_folds=4)
+
+    def run(qat):
+        cfg = TrainConfig(batch_size=4, epochs=2, schedule="constant",
+                          learning_rate=1e-3, qat=qat)
+        model = UNet(widths=(4,), bridge=8, dropout=0.0)
+        tr, states, hist, best = cross_validate(model, cfg, x, masks, folds,
+                                                mesh=mesh)
+        return tr, states, hist
+
+    tr_q, st_q, hist_q = run(True)
+    _, _, hist_p = run(False)
+    assert np.isfinite(hist_q["loss"]).all()
+    # same data, same init law — only the quantizer differs
+    assert not np.allclose(hist_q["loss"], hist_p["loss"])
+
+    p0 = jax.tree_util.tree_map(lambda a: a[0], st_q.params)
+    b0 = jax.tree_util.tree_map(lambda a: a[0], st_q.batch_stats)
+    pred = tr_q.predict_fold(p0, b0, x[:4])
+    with qat_methods():
+        ref = np.asarray(tr_q.model.apply(
+            {"params": p0, "batch_stats": b0}, jnp.asarray(x[:4]),
+            train=False))
+    np.testing.assert_allclose(pred, ref, atol=1e-5)
