@@ -306,6 +306,10 @@ def build_plain_lung_dataset(case_slices, cfg):
         lung_parts.append(np.asarray(
             resize2d(jnp.asarray(lungs_bin[keep] * 255.0, jnp.float32),
                      (cfg.new_dim, cfg.new_dim), "area")))
+    if not cts_parts:
+        raise ValueError(
+            "build_plain_lung_dataset: no case has a lung-positive slice — "
+            "every lung mask is empty; check the mask source/labeling")
     cts = np.concatenate(cts_parts, axis=0).astype(np.float32) / 255.0
     lungs = np.concatenate(lung_parts, axis=0).astype(np.float32) / 255.0
     return cts[..., None], lungs[..., None]

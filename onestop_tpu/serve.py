@@ -71,6 +71,13 @@ class VolumeReport:
         return out
 
 
+@jax.jit
+def _frac(m):
+    """Per-slice infected-pixel fraction (module-level jit: one compile per
+    process, shared across serve_volumes calls)."""
+    return jnp.mean(m.astype(jnp.float32), axis=(1, 2, 3))
+
+
 def _prepare_volume(path, img_size, slice_lo, slice_hi):
     """Host stage: native (or Python) NIfTI decode → rot90/window/512²
     resize/min-max normalize (``data.ingest.load_slices``) → reference
@@ -120,6 +127,17 @@ def serve_volumes(
     ``prefetch`` is how many volumes the host loader runs ahead.
     """
     with_cls = cls_model is not None
+    if quant is not None:
+        # fail fast with an actionable message instead of a KeyError from
+        # inside the first block's jit dispatch (after a full volume decode)
+        needed = {"seg"} | ({"cls"} if with_cls else set())
+        missing = needed - set(quant)
+        if missing:
+            raise ValueError(
+                f"quant dict is missing {sorted(missing)} for this serving "
+                f"mode (cls_model {'set' if with_cls else 'absent'}); build "
+                f"it with serve.calibrate_quant(cls_model=...) matching the "
+                f"models you serve")
     if quant is not None and "lung" not in quant:
         # mixed precision split: bf16 lung stage, int8 seg (+cls) — the
         # quality-gated combination for low-res lung stages, where box
@@ -184,77 +202,85 @@ def serve_volumes(
                 ccl_stride=ccl_stride, lung_hw=lung_hw,
                 refine_boxes=refine_boxes)
 
-    frac = jax.jit(lambda m: jnp.mean(m.astype(jnp.float32), axis=(1, 2, 3)))
-
     paths = [str(p) for p in paths]
-    it = iter(paths)
-    pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
-    pending: deque = deque()
 
-    def _submit():
-        p = next(it, None)
-        if p is not None:
-            pending.append((p, pool.submit(
-                _prepare_volume, p, img_size, slice_lo, slice_hi)))
+    def _gen():
+        it = iter(paths)
+        pool = ThreadPoolExecutor(max_workers=max(1, prefetch))
+        pending: deque = deque()
 
-    try:
-        for _ in range(max(1, prefetch)):
-            _submit()
-        while pending:
-            path, fut = pending.popleft()
-            u8, load_s = fut.result()
-            _submit()                       # keep the loader pipeline full
-            t0 = time.perf_counter()
-            n = len(u8)
-            n_blocks = max(1, -(-n // block))
-            pad = n_blocks * block - n
-            if pad:
-                u8 = np.concatenate(
-                    [u8, np.zeros((pad,) + u8.shape[1:], np.uint8)])
-            # dispatch ALL blocks before the first fetch: the device queue
-            # stays full while the loader thread decodes the next volume
-            outs = []
-            for i in range(n_blocks):
-                x = jnp.asarray(u8[i * block:(i + 1) * block])
-                res = infer(x)
-                if with_cls:
-                    masks, cls_p, b1, b2 = res
-                else:
-                    masks, b1, b2 = res
-                    cls_p = None
-                outs.append((masks, frac(masks), cls_p, b1, b2))
-            fr = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
-            b1 = np.concatenate([np.asarray(o[3]) for o in outs])[:n]
-            b2 = np.concatenate([np.asarray(o[4]) for o in outs])[:n]
-            cls_p = (np.concatenate([np.asarray(o[2]) for o in outs])[:n]
-                     if with_cls else None)
-            if cls_p is not None and cls_calibration is not None:
-                # Platt (a, b) from a labeled validation run — see
-                # metrics.classification.fit_platt / classification_report's
-                # "calibration" block; host-side on O(slices) scalars
-                from onestop_tpu.metrics.classification import apply_platt
+        def _submit():
+            p = next(it, None)
+            if p is not None:
+                pending.append((p, pool.submit(
+                    _prepare_volume, p, img_size, slice_lo, slice_hi)))
 
-                cls_p = apply_platt(cls_p.ravel(), *cls_calibration).astype(
-                    np.float32)
-            masks = (np.concatenate(
-                [np.asarray(o[0])[..., 0] for o in outs])[:n]
-                if keep_masks else None)
-            yield VolumeReport(
-                path=path, n_slices=n, boxes1=b1, boxes2=b2,
-                infection_fraction=fr, cls_probs=cls_p, masks=masks,
-                load_seconds=load_s,
-                compute_seconds=time.perf_counter() - t0)
-    finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        try:
+            for _ in range(max(1, prefetch)):
+                _submit()
+            while pending:
+                path, fut = pending.popleft()
+                u8, load_s = fut.result()
+                _submit()                   # keep the loader pipeline full
+                t0 = time.perf_counter()
+                n = len(u8)
+                n_blocks = max(1, -(-n // block))
+                pad = n_blocks * block - n
+                if pad:
+                    u8 = np.concatenate(
+                        [u8, np.zeros((pad,) + u8.shape[1:], np.uint8)])
+                # dispatch ALL blocks before the first fetch: the device
+                # queue stays full while the loader decodes the next volume
+                outs = []
+                for i in range(n_blocks):
+                    x = jnp.asarray(u8[i * block:(i + 1) * block])
+                    res = infer(x)
+                    if with_cls:
+                        masks, cls_p, b1, b2 = res
+                    else:
+                        masks, b1, b2 = res
+                        cls_p = None
+                    # keep_masks=False: drop the block's mask buffer once
+                    # its fraction reduction is dispatched — otherwise every
+                    # block's full (block, oh, ow, 1) device buffer stays
+                    # live until the volume completes, scaling device memory
+                    # with volume length
+                    outs.append((masks if keep_masks else None,
+                                 _frac(masks), cls_p, b1, b2))
+                fr = np.concatenate([np.asarray(o[1]) for o in outs])[:n]
+                b1 = np.concatenate([np.asarray(o[3]) for o in outs])[:n]
+                b2 = np.concatenate([np.asarray(o[4]) for o in outs])[:n]
+                cls_p = (np.concatenate([np.asarray(o[2]) for o in outs])[:n]
+                         if with_cls else None)
+                if cls_p is not None and cls_calibration is not None:
+                    # Platt (a, b) from a labeled validation run — see
+                    # metrics.classification.fit_platt / the report's
+                    # "calibration" block; host-side on O(slices) scalars
+                    from onestop_tpu.metrics.classification import apply_platt
+
+                    cls_p = apply_platt(cls_p.ravel(), *cls_calibration
+                                        ).astype(np.float32)
+                masks = (np.concatenate(
+                    [np.asarray(o[0])[..., 0] for o in outs])[:n]
+                    if keep_masks else None)
+                yield VolumeReport(
+                    path=path, n_slices=n, boxes1=b1, boxes2=b2,
+                    infection_fraction=fr, cls_probs=cls_p, masks=masks,
+                    load_seconds=load_s,
+                    compute_seconds=time.perf_counter() - t0)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+
+    # serve_volumes is a plain function returning a generator (not a
+    # generator function) so the quant/mode validation above runs EAGERLY at
+    # call time, not at the first next()
+    return _gen()
 
 
 def serve_directory(data_dir, *models_and_vars, column: str = "ct_scan", **kw):
     """Serve every ``column`` volume listed in a Kaggle-layout
     ``metadata.csv`` (ref ``holdout.py:135-137``) through ``serve_volumes``."""
-    from onestop_tpu.data.acquire import load_metadata
-
-    paths = [row[column] for row in load_metadata(data_dir)]
-    return serve_volumes(paths, *models_and_vars, **kw)
+    return serve_volumes(_list_volumes(data_dir, column), *models_and_vars, **kw)
 
 
 def calibrate_quant(
@@ -308,14 +334,19 @@ def calibrate_quant(
 
 
 def _load_vars(model, path, in_hw):
-    from onestop_tpu.train.checkpoint import load_checkpoint
+    # canonical implementation lives with the checkpoint format; kept as an
+    # alias because the study scripts import it from here
+    from onestop_tpu.train.checkpoint import load_model_variables
 
-    tmpl = model.init({"params": jax.random.PRNGKey(0)},
-                      jnp.zeros((1,) + tuple(in_hw) + (1,), jnp.float32),
-                      train=False)
-    params, bstats = load_checkpoint(path, tmpl["params"],
-                                     tmpl.get("batch_stats", {}))
-    return {"params": params, "batch_stats": bstats}
+    return load_model_variables(model, path, in_hw)
+
+
+def _list_volumes(data_dir, column: str = "ct_scan"):
+    """Kaggle-layout ``metadata.csv`` → ordered volume paths (shared by
+    ``serve_directory`` and the CLI)."""
+    from onestop_tpu.data.acquire import load_metadata
+
+    return [row[column] for row in load_metadata(data_dir)]
 
 
 def main(argv=None):
@@ -349,6 +380,9 @@ def main(argv=None):
                         "'calibration' block of a labeled run's "
                         "classification_report.json")
     p.add_argument("--no-refine-boxes", action="store_true")
+    p.add_argument("--interpret", action="store_true",
+                   help="run Pallas kernels in interpret mode (CPU smoke "
+                        "runs — no TPU required)")
     p.add_argument("--out", default=None, help="append JSONL summaries here")
     args = p.parse_args(argv)
 
@@ -357,10 +391,13 @@ def main(argv=None):
     lung_dim = args.lung_dim or d
     m = task1.model  # task3's ModelConfig shares these U-Net fields
     # serving builds stem-off (inference-fastest; param tree identical to
-    # the stem-on training builds, see runners._build_unet)
+    # the stem-on training builds, see runners._build_unet); BN constants
+    # must match the training config or inference normalization shifts
     lung_model = UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
+                      bn_momentum=m.bn_momentum, bn_epsilon=m.bn_epsilon,
                       dtype=jnp.bfloat16)
     seg_model = UNet(widths=tuple(m.unet_widths), bridge=m.unet_bridge,
+                     bn_momentum=m.bn_momentum, bn_epsilon=m.bn_epsilon,
                      dtype=jnp.bfloat16)
     lung_vars = _load_vars(lung_model, args.lung, (lung_dim, lung_dim))
     seg_vars = _load_vars(seg_model, args.seg, (d, d))
@@ -368,14 +405,13 @@ def main(argv=None):
     if args.cls:
         mc = C.task2_classification().model
         cls_model = ClassifierCNN(widths=tuple(mc.cls_widths),
-                                  dense=mc.cls_dense, dtype=jnp.bfloat16)
+                                  dense=mc.cls_dense,
+                                  bn_momentum=mc.bn_momentum,
+                                  bn_epsilon=mc.bn_epsilon,
+                                  dtype=jnp.bfloat16)
         cls_vars = _load_vars(cls_model, args.cls, (d, d))
 
-    if args.data_dir:
-        from onestop_tpu.data.acquire import load_metadata
-        paths = [row["ct_scan"] for row in load_metadata(args.data_dir)]
-    else:
-        paths = args.volumes
+    paths = _list_volumes(args.data_dir) if args.data_dir else args.volumes
     if not paths:
         p.error("no volumes: pass paths or --data-dir")
 
@@ -385,7 +421,13 @@ def main(argv=None):
               refine_boxes=not args.no_refine_boxes,
               cls_calibration=(tuple(args.cls_calibration)
                                if args.cls_calibration else None),
-              img_size=task1.preprocess.img_size)
+              img_size=task1.preprocess.img_size,
+              # the config's slice window, NOT serve_volumes' defaults —
+              # int8 calibration below reads the same window, and the two
+              # must see the same slice distribution
+              slice_lo=task1.preprocess.slice_lo,
+              slice_hi=task1.preprocess.slice_hi,
+              interpret=args.interpret)
     quant = None
     if args.int8:
         first, _ = _prepare_volume(paths[0], task1.preprocess.img_size,
@@ -395,6 +437,7 @@ def main(argv=None):
                                 seg_vars, cls_model, cls_vars,
                                 model_hw=(d, d), lung_hw=kw["lung_hw"],
                                 refine_boxes=kw["refine_boxes"],
+                                interpret=args.interpret,
                                 # low-res lung stages keep stage 1 bf16
                                 # (serve_int8.chained_infer_mixed rationale)
                                 quantize_lung=kw["lung_hw"] is None)

@@ -34,13 +34,15 @@ from onestop_tpu.models.common import BN_EPSILON
 Array = jax.Array
 
 
-def _bn_affine(bn_params, bn_stats):
-    """Inference BatchNorm as (mul, add) per channel, f32."""
+def _bn_affine(bn_params, bn_stats, eps: float = BN_EPSILON):
+    """Inference BatchNorm as (mul, add) per channel, f32. ``eps`` must
+    match the checkpoint's training ``ModelConfig.bn_epsilon`` (default is
+    the Keras constant every config ships with)."""
     scale = jnp.asarray(bn_params["scale"], jnp.float32)
     bias = jnp.asarray(bn_params["bias"], jnp.float32)
     mean = jnp.asarray(bn_stats["mean"], jnp.float32)
     var = jnp.asarray(bn_stats["var"], jnp.float32)
-    mul = scale * jax.lax.rsqrt(var + BN_EPSILON)
+    mul = scale * jax.lax.rsqrt(var + eps)
     return mul, bias - mean * mul
 
 
@@ -58,7 +60,8 @@ def _convt_f32(x, kernel, bias):
     return y + jnp.asarray(bias, x.dtype)
 
 
-def _unet_forward(params, batch_stats, x, widths, qconv, record=None):
+def _unet_forward(params, batch_stats, x, widths, qconv, record=None,
+                  bn_eps: float = BN_EPSILON):
     """Shared inference forward for the calibration (f32) and int8 paths.
 
     qconv(x, layer_name, kernel, bias) computes a 3×3 SAME conv; ``record``
@@ -75,7 +78,7 @@ def _unet_forward(params, batch_stats, x, widths, qconv, record=None):
     for i in range(len(widths)):
         x = jax.nn.relu(conv(x, f"enc{i}_conv0"))
         x = jax.nn.relu(conv(x, f"enc{i}_conv1"))
-        mul, add = _bn_affine(p[f"enc{i}_bn"], bs[f"enc{i}_bn"])
+        mul, add = _bn_affine(p[f"enc{i}_bn"], bs[f"enc{i}_bn"], bn_eps)
         x = x * mul.astype(x.dtype) + add.astype(x.dtype)
         skips.append(x)
         x = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
@@ -85,7 +88,7 @@ def _unet_forward(params, batch_stats, x, widths, qconv, record=None):
     for i in reversed(range(len(widths))):
         x = _convt_f32(x, p[f"dec{i}_up"]["kernel"], p[f"dec{i}_up"]["bias"])
         x = jnp.concatenate([x, skips[i]], axis=-1)
-        mul, add = _bn_affine(p[f"dec{i}_bn"], bs[f"dec{i}_bn"])
+        mul, add = _bn_affine(p[f"dec{i}_bn"], bs[f"dec{i}_bn"], bn_eps)
         x = x * mul.astype(x.dtype) + add.astype(x.dtype)
         x = jax.nn.relu(conv(x, f"dec{i}_conv0"))
         x = jax.nn.relu(conv(x, f"dec{i}_conv1"))
@@ -97,7 +100,8 @@ def _unet_forward(params, batch_stats, x, widths, qconv, record=None):
     return jax.nn.sigmoid(y.astype(jnp.float32))
 
 
-def calibrate_and_quantize(variables, x_cal, widths=(32, 64, 128, 256)) -> dict:
+def calibrate_and_quantize(variables, x_cal, widths=(32, 64, 128, 256),
+                           bn_eps: float = BN_EPSILON) -> dict:
     """One f32 calibration pass over ``x_cal`` (a representative batch) →
     quantized tree: per-conv int8 kernels, per-channel kernel scales,
     per-conv-input activation scales, f32 biases + BN/up/head params."""
@@ -106,11 +110,13 @@ def calibrate_and_quantize(variables, x_cal, widths=(32, 64, 128, 256)) -> dict:
 
     record = {}
     _unet_forward(params, stats, jnp.asarray(x_cal, jnp.float32), widths,
-                  qconv=lambda x, name, k, b: _conv_f32(x, k, b), record=record)
+                  qconv=lambda x, name, k, b: _conv_f32(x, k, b), record=record,
+                  bn_eps=bn_eps)
     act_scales = {k: float(np.maximum(np.asarray(v), 1e-12)) / 127.0
                   for k, v in record.items()}
 
     q = {"params": params, "batch_stats": stats, "widths": tuple(widths),
+         "bn_eps": bn_eps,
          "act_scales": act_scales, "kernels_q": {}, "kscales": {}}
     for name in act_scales:  # every quantized 3×3 conv
         w = np.asarray(params[name]["kernel"], np.float64)
@@ -136,7 +142,8 @@ def unet_apply_int8(q: dict, x: Array, dtype=jnp.bfloat16) -> Array:
                 + jnp.asarray(bias, jnp.float32)).astype(dtype)
 
     return _unet_forward(q["params"], q["batch_stats"], x.astype(dtype),
-                         q["widths"], qconv=qconv)
+                         q["widths"], qconv=qconv,
+                         bn_eps=q.get("bn_eps", BN_EPSILON))
 
 
 # ---------------------------------------------------------------------------
@@ -154,10 +161,27 @@ def unet_apply_int8(q: dict, x: Array, dtype=jnp.bfloat16) -> Array:
 # precision-sensitive.
 
 def _is_q_conv(module) -> bool:
+    """True iff this conv is one the int8 path re-executes faithfully.
+
+    Both interceptors (the int8 serving quantizer below and QAT's
+    ``_fq_conv``) replace matched convs with a stride-1 SAME bias-ful
+    ungrouped ``lax.conv`` — so the predicate must require exactly that
+    shape, not just kernel_size: a 3×3 conv with e.g. strides=(2,2),
+    'VALID' padding, feature groups, or no bias would otherwise be silently
+    recomputed as a different network. All convs in the three model
+    families match; anything exotic safely stays unquantized."""
     from flax import linen as nn
 
-    return (isinstance(module, nn.Conv)
-            and tuple(module.kernel_size) == (3, 3))
+    if not (isinstance(module, nn.Conv) and tuple(module.kernel_size) == (3, 3)):
+        return False
+    strides = module.strides or (1, 1)
+    strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
+    return (strides == (1, 1)
+            and module.padding == "SAME"
+            and module.feature_group_count == 1
+            and module.use_bias
+            and module.kernel_dilation in (1, (1, 1), None)
+            and module.input_dilation in (1, (1, 1), None))
 
 
 def quantize_model(model, variables, x_cal) -> dict:
@@ -221,29 +245,6 @@ def apply_int8_model(model, q: dict, variables, x: Array,
 
     with nn.intercept_methods(int8_ic):
         return model.apply(variables, x.astype(dtype), train=False)
-
-
-@functools.partial(jax.jit, static_argnames=(
-    "model", "out_hw", "threshold", "interpret"))
-def fused_infer_int8_model(
-    model,
-    q: dict,
-    variables,
-    imgs_u8: Array,
-    boxes1: Array,
-    boxes2: Array,
-    out_hw: tuple[int, int] = (224, 224),
-    threshold: float | None = 0.5,
-    interpret: bool = False,
-):
-    """The serving chain with the generic int8 model path (any family)."""
-    from onestop_tpu.ops.pipeline import serving_preproc
-
-    x = serving_preproc(imgs_u8, boxes1, boxes2, out_hw, interpret=interpret)
-    probs = apply_int8_model(model, q, variables, x)
-    if threshold is None:
-        return probs
-    return probs > threshold
 
 
 @functools.partial(jax.jit, static_argnames=(

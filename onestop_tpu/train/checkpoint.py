@@ -39,6 +39,21 @@ def load_checkpoint(path, template_params, template_batch_stats=None):
     return restored["params"], restored["batch_stats"]
 
 
+def load_model_variables(model, path, in_hw):
+    """Checkpoint → flax variables dict for ``model.apply``: init a template
+    at ``in_hw`` (H, W) single-channel input, then restore into it. The one
+    canonical loader for serving and scripts (serve.py used to own this; the
+    study scripts each had a private copy)."""
+    import jax.numpy as jnp
+
+    tmpl = model.init({"params": jax.random.PRNGKey(0)},
+                      jnp.zeros((1,) + tuple(in_hw) + (1,), jnp.float32),
+                      train=False)
+    params, bstats = load_checkpoint(path, tmpl["params"],
+                                     tmpl.get("batch_stats", {}))
+    return {"params": params, "batch_stats": bstats}
+
+
 def save_train_state(path, state, epoch: int, history: dict | None = None) -> Path:
     """Full-state checkpoint for crash/resume: params + batch_stats +
     optimizer state + step + epoch (+history). The reference's only crash

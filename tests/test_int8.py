@@ -249,3 +249,21 @@ def test_serve_volumes_mixed_quant(tmp_path):
                                 img_size=hw, block=8, model_hw=(hw, hw),
                                 interpret=True)))
     assert r.n_slices > 0 and r.boxes1.shape == (r.n_slices, 4)
+
+
+def test_q_conv_predicate_requires_faithful_shape():
+    """_is_q_conv must only match convs the int8/QAT re-execution is faithful
+    to (stride-1 SAME bias-ful ungrouped undilated): a strided / VALID /
+    biasless / grouped 3x3 conv silently recomputed as stride-1 SAME + bias
+    would be a different network."""
+    from flax import linen as nn
+
+    from onestop_tpu.serve_int8 import _is_q_conv
+
+    assert _is_q_conv(nn.Conv(8, (3, 3)))
+    assert not _is_q_conv(nn.Conv(8, (3, 3), strides=(2, 2)))
+    assert not _is_q_conv(nn.Conv(8, (3, 3), padding="VALID"))
+    assert not _is_q_conv(nn.Conv(8, (3, 3), use_bias=False))
+    assert not _is_q_conv(nn.Conv(8, (3, 3), feature_group_count=2))
+    assert not _is_q_conv(nn.Conv(8, (3, 3), kernel_dilation=(2, 2)))
+    assert not _is_q_conv(nn.Conv(8, (1, 1)))       # heads stay unquantized

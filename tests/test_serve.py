@@ -116,3 +116,53 @@ def test_serve_volumes_cls_calibration(volumes, models):
         rtol=1e-5)
     np.testing.assert_array_equal(cal.infection_fraction,
                                   raw.infection_fraction)
+
+
+def test_serve_volumes_validates_quant_eagerly(models):
+    """A quant dict missing the keys this serving mode needs must raise at
+    CALL time with an actionable message — not a KeyError from inside the
+    first block's jit dispatch after a full volume decode."""
+    import pytest
+
+    lung, vl, seg, vs, cls, vc = models
+    with pytest.raises(ValueError, match="missing \\['seg'\\]"):
+        serve_volumes(["nonexistent.nii"], lung, vl, seg, vs,
+                      quant={"lung": {}}, img_size=HW, model_hw=(HW, HW))
+    with pytest.raises(ValueError, match="missing \\['cls'\\]"):
+        serve_volumes(["nonexistent.nii"], lung, vl, seg, vs, cls, vc,
+                      quant={"seg": {}}, img_size=HW, model_hw=(HW, HW))
+
+
+def test_serve_cli_main_end_to_end(volumes, models, tmp_path, monkeypatch):
+    """`python -m onestop_tpu.serve` wiring: checkpoint loading (BN constants
+    threaded from ModelConfig), config slice window, --interpret CPU path,
+    JSONL output. Model geometry is scaled down via a patched task config."""
+    import dataclasses
+
+    from onestop_tpu import config as C
+    from onestop_tpu import serve
+    from onestop_tpu.train.checkpoint import save_checkpoint
+
+    lung, vl, seg, vs, _, _ = models
+    lung_p, seg_p = tmp_path / "lung.msgpack", tmp_path / "seg.msgpack"
+    save_checkpoint(lung_p, vl["params"], vl["batch_stats"])
+    save_checkpoint(seg_p, vs["params"], vs["batch_stats"])
+
+    small = C.task1_holdout()
+    small = dataclasses.replace(
+        small,
+        preprocess=dataclasses.replace(small.preprocess, img_size=HW,
+                                       new_dim=HW),
+        model=dataclasses.replace(small.model, unet_widths=(4, 8),
+                                  unet_bridge=16, in_size=HW))
+    monkeypatch.setattr(C, "task1_holdout", lambda: small)
+
+    out = tmp_path / "reports.jsonl"
+    serve.main(["--lung", str(lung_p), "--seg", str(seg_p),
+                "--interpret", "--block", "8", "--out", str(out),
+                volumes[0]])
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 1
+    assert lines[0]["path"] == volumes[0]
+    assert lines[0]["n_slices"] > 0
+    assert 0.0 <= lines[0]["mean_infection_fraction"] <= 1.0
