@@ -35,7 +35,7 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import _timing  # noqa: F401,E402  (compile cache + tunnel-safe timing setup)
 
 from onestop_tpu import config as C

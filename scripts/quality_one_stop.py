@@ -18,7 +18,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import _timing  # noqa: F401,E402  (compile-cache env + repo path)
 
 KW = dict(n_synthetic=16, synth_hw=512, synth_slices=40, seed=7)

@@ -21,7 +21,7 @@ s8×s8→s32, calibrated on real stage inputs) and on the bf16 chain:
   - int8-vs-bf16 delta per arm — the gate is |delta| < 0.005 (the int8
                         promotion criterion of scripts/quality_int8.py)
 
-Writes artifacts_tpu/round3_qat.json.
+Writes artifacts_tpu/round4_qat.json.
 """
 
 import dataclasses
@@ -30,7 +30,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -111,9 +111,9 @@ def main():
     out["gate_abs_delta_lt_0.005"] = abs(out["int8_minus_bf16"]) < 0.005
 
     print(json.dumps(out, indent=2), flush=True)
-    with open("artifacts_tpu/round3_qat.json", "w") as f:
+    with open("artifacts_tpu/round4_qat.json", "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote artifacts_tpu/round3_qat.json")
+    print("wrote artifacts_tpu/round4_qat.json")
 
 
 if __name__ == "__main__":
