@@ -45,6 +45,11 @@ def main(argv=None):
                              "lung U-Net at this resolution (e.g. 112 for "
                              "~4x fewer stage-1 FLOPs; boxes only need "
                              "lung-scale precision)")
+    parser.add_argument("--cls-dim", type=int, default=None,
+                        help="('five'/'seven') train+serve the classifier at "
+                             "this input resolution (e.g. 112 — its lane-"
+                             "bound convs make overhead scale with positions, "
+                             "not FLOPs; see profile_cls_overhead)")
     parser.add_argument("--classify", action="store_true",
                         help="('seven' only) also train the task2 classifier "
                              "and serve the full one-stop chain (lung seg + "
@@ -70,12 +75,14 @@ def main(argv=None):
     runner = RUNNERS[token]
     print(f"Running {runner.__name__} ...")
     extra = {}
-    # CV runners: no aug path in the reference; the chain trains two models
-    # with their task defaults
-    if args.use_augmentation and token not in ("one", "two", "seven"):
+    # the chain ('seven') trains two models with their task defaults; every
+    # other runner (incl. the CV pair) takes the aug mode
+    if args.use_augmentation and token != "seven":
         extra["use_augmentation"] = args.use_augmentation
     if args.lung_dim is not None and token == "seven":
         extra["lung_dim"] = args.lung_dim
+    if args.cls_dim is not None and token in ("five", "seven"):
+        extra["cls_dim"] = args.cls_dim
     if args.classify and token == "seven":
         extra["classify"] = True
     if args.qat:

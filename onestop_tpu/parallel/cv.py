@@ -41,8 +41,15 @@ class FoldParallelTrainer:
     """vmapped-over-folds version of ``train.Trainer``."""
 
     def __init__(self, model, cfg: TrainConfig, n_folds: int, loss: str | Callable | None = None,
-                 mesh=None, remat: bool = True, shard_data: bool = False):
-        """shard_data (mesh only): store each fold's train set stacked and
+                 mesh=None, remat: bool = True, shard_data: bool = False,
+                 augment_cfg=None):
+        """augment_cfg: optional AugmentConfig — on-device joint flip/affine
+        augmentation of every training batch, per fold (same per-batch law as
+        ``train.Trainer(augment_cfg=...)``; each fold draws its own keys).
+        The reference's CV scripts build the aug pipeline but never train on
+        it (SURVEY.md §8 Q7).
+
+        shard_data (mesh only): store each fold's train set stacked and
         sharded over ('fold', 'data') instead of replicating the full dataset
         to every device (VERDICT r2 weak #5) — per-device train memory =
         max_fold_train/dp_size, val memory = that fold's val set; per-epoch
@@ -79,6 +86,7 @@ class FoldParallelTrainer:
                 self.model = model.clone(bn_axis="data")  # sync-BN inside a fold
         loss = loss if loss is not None else cfg.loss
         self.loss_fn = L.LOSSES[loss] if isinstance(loss, str) else loss
+        self.augment_cfg = augment_cfg
         self.tx = make_adam(cfg)
         self._build()
 
@@ -121,6 +129,7 @@ class FoldParallelTrainer:
             model = qat_apply_model(model)
         self._apply_model = model  # what predict_fold must forward through
         dp = "data" if self.dp_size > 1 else None
+        augment_cfg = self.augment_cfg
         from onestop_tpu.train.trainer import _with_axis
         loss_fn = _with_axis(self.loss_fn, dp)
         metric_fn = _with_axis(L.dice_coeff, dp)
@@ -145,6 +154,15 @@ class FoldParallelTrainer:
                 idx, wb, key = xs
                 xb = x[idx]
                 yb = y[idx]
+                if augment_cfg is not None:
+                    from onestop_tpu.ops.augment import augment_batch
+                    akey, key = jax.random.split(key)
+                    if dp is not None:  # distinct warps per batch shard
+                        akey = jax.random.fold_in(akey, jax.lax.axis_index(dp))
+                    ab, sb = augment_batch(akey, xb[..., 0], yb[..., 0],
+                                           augment_cfg)
+                    xb = ab[..., None]
+                    yb = sb[..., None]
                 if dp is not None:  # distinct dropout masks per batch shard
                     key = jax.random.fold_in(key, jax.lax.axis_index(dp))
 
@@ -451,7 +469,7 @@ class FoldParallelTrainer:
 
 def sequential_cross_validate(model, cfg: TrainConfig, x, y, folds,
                               epochs_per_fold=None, carry_weights=True,
-                              verbose=False):
+                              verbose=False, augment_cfg=None):
     """Reference-parity sequential CV (``task1_crossval_3folds_unet.py:1005-1046``):
     folds train one after another on a single model. With
     ``carry_weights=True`` (the reference's actual behavior, SURVEY.md §8
@@ -465,7 +483,7 @@ def sequential_cross_validate(model, cfg: TrainConfig, x, y, folds,
     from onestop_tpu.train.trainer import Trainer
 
     budgets = list(epochs_per_fold or [cfg.epochs] * len(folds))
-    trainer = Trainer(model, cfg)
+    trainer = Trainer(model, cfg, augment_cfg=augment_cfg)
     rng = jax.random.PRNGKey(cfg.init_seed)
     state = trainer.init_state(rng, x.shape[1:])
     x = jnp.asarray(x)
@@ -491,7 +509,7 @@ def sequential_cross_validate(model, cfg: TrainConfig, x, y, folds,
 
 def cross_validate(model, cfg: TrainConfig, x, y, folds, mesh=None,
                    epochs_per_fold=None, init_rng=None, verbose=False,
-                   shard_data=False):
+                   shard_data=False, augment_cfg=None):
     """Convenience wrapper: fold-parallel training + per-fold best snapshots.
 
     With a mesh, the fold count is padded to a multiple of the mesh's fold
@@ -506,7 +524,7 @@ def cross_validate(model, cfg: TrainConfig, x, y, folds, mesh=None,
             folds.append(folds[0])
             budgets.append(0)
     tr = FoldParallelTrainer(model, cfg, n_folds=len(folds), mesh=mesh,
-                             shard_data=shard_data)
+                             shard_data=shard_data, augment_cfg=augment_cfg)
     rng = init_rng if init_rng is not None else jax.random.PRNGKey(cfg.init_seed)
     states = tr.init_states(rng, x.shape[1:])
     states, hist, best = tr.fit(states, x, y, folds,

@@ -100,7 +100,7 @@ def chained_infer(
 
 def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
                   threshold, interpret, ccl_stride, lung_hw, cls_apply=None,
-                  refine_boxes=True):
+                  refine_boxes=True, cls_hw=None):
     """The chain stages, parameterized over the model forwards so the bf16
     (``chained_infer``/``one_stop_infer``) and int8
     (``serve_int8.chained_infer_int8``/``one_stop_infer_int8``) paths share
@@ -108,7 +108,14 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
     exactly the task2 classifier's training distribution (CLAHE'd two-lung
     crop at ``model_hw``, ref ``task2_covid19_classifcation.py:413-418`` uses
     the same three-pass arrays) — also feeds the classifier, and the return
-    gains a per-slice infection probability."""
+    gains a per-slice infection probability.
+
+    cls_hw: optional lower classifier resolution — the stage-3 crop is
+    area-resized once for the classifier (whose Flatten→Dense head must have
+    been trained at cls_hw). The classifier's 16/32-channel convs sit at the
+    C<128 lane ceiling, so its wall-clock scales with spatial positions, not
+    FLOPs — a 112² classifier quarters the measured 18.7%/dispatch overhead
+    (scripts/profile_cls_overhead.py)."""
     from onestop_tpu.ops.pipeline import serving_preproc
 
     b, h, w = raw_u8.shape
@@ -165,13 +172,17 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
     masks = probs if threshold is None else probs > threshold
     if cls_apply is None:
         return masks, b1, b2
-    cls_probs = cls_apply(x)[:, 0]                               # (B,) f32
+    x_cls = x
+    if cls_hw is not None and tuple(cls_hw) != tuple(model_hw):
+        x_cls = resize2d(x[..., 0], cls_hw, "area")[..., None]
+    cls_probs = cls_apply(x_cls)[:, 0]                           # (B,) f32
     return masks, cls_probs, b1, b2
 
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
-    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes",
+    "cls_hw"))
 def one_stop_infer(
     lung_model,
     lung_variables,
@@ -187,6 +198,7 @@ def one_stop_infer(
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
+    cls_hw: tuple[int, int] | None = None,
 ):
     """The FULL one-stop chain the repository is named for: raw CT slices →
     lung segmentation (stage 1) → predicted crop boxes (stage 2) → infection
@@ -208,7 +220,9 @@ def one_stop_infer(
 
     The classifier's Flatten→Dense head pins its input to the resolution it
     was trained at — ``model_hw`` must match (224² for the reference
-    topology)."""
+    topology), or pass ``cls_hw`` to serve a classifier trained at a lower
+    resolution on one extra area-resize of the same crop (the measured
+    overhead reduction — see ``_chain_stages``)."""
     lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
     seg_apply = lambda x: seg_model.apply(
         seg_variables, x.astype(seg_model.dtype), train=False)
@@ -217,7 +231,7 @@ def one_stop_infer(
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
                          lung_hw, cls_apply=cls_apply,
-                         refine_boxes=refine_boxes)
+                         refine_boxes=refine_boxes, cls_hw=cls_hw)
 
 
 def chained_infer_sharded(

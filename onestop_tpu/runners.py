@@ -339,8 +339,33 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
             "sweep": report, "val": (x_val, y_val, probs)}
 
 
+def _concat_augmented_folds(x, y, folds, aug_cfg, seed: int):
+    """Per-fold train-set merge for CV: materialize aug_cfg.n_samples
+    augmented pairs from each fold's OWN train rows and append them to the
+    global arrays, extending only that fold's train indices — augmented
+    samples never reach any fold's validation split (the reference's
+    commented-out merge, holdout.py:615-619, done without leakage)."""
+    from onestop_tpu.ops.augment import sample_and_augment
+
+    x_parts, y_parts, new_folds = [x], [y], []
+    next_row = len(x)
+    for f, (tr_idx, va_idx) in enumerate(folds):
+        key = jax.random.PRNGKey(seed + 7919 * f)
+        _, ax, ay = sample_and_augment(key, jnp.asarray(x[tr_idx][..., 0]),
+                                       jnp.asarray(y[tr_idx][..., 0]), aug_cfg)
+        n_new = len(ax)
+        x_parts.append(np.asarray(ax)[..., None])
+        y_parts.append(np.asarray(ay)[..., None])
+        new_folds.append((np.concatenate([np.asarray(tr_idx),
+                                          np.arange(next_row, next_row + n_new)]),
+                          np.asarray(va_idx)))
+        next_row += n_new
+    return (np.concatenate(x_parts), np.concatenate(y_parts), new_folds)
+
+
 def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
-                         verbose=False, cv_mode: str = "auto", save_figures=True):
+                         verbose=False, cv_mode: str = "auto", save_figures=True,
+                         use_augmentation=False):
     """cv_mode:
     - 'auto': fold-parallel when a multi-device mesh is available, else
       sequential with fresh per-fold init (on one chip fold-vmapping only
@@ -348,10 +373,19 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
     - 'parallel': fold-parallel over the mesh 'fold' axis, fresh init/fold;
     - 'sequential': the reference's loop shape but with fresh per-fold init;
     - 'sequential_reference': the reference's weight-carrying loop
-      (SURVEY.md §8 Q5) for behavior-parity runs."""
+      (SURVEY.md §8 Q5) for behavior-parity runs.
+
+    use_augmentation: False | 'batch' (on-device joint aug of every training
+    batch, per fold) | 'concat' (per-fold materialized merge — see
+    ``_concat_augmented_folds``). The reference's CV scripts compute aug but
+    never train on it (SURVEY.md §8 Q7)."""
     out_dir = _out(out_dir)
     sp = task_cfg.split
     folds = kfold_indices(len(x), sp.n_folds, sp.seed)
+    if use_augmentation == "concat":
+        x, y, folds = _concat_augmented_folds(x, y, folds, task_cfg.augment,
+                                              task_cfg.train.shuffle_seed)
+    aug_cfg = task_cfg.augment if use_augmentation in (True, "batch") else None
     _model_input_shape(task_cfg, x)   # validate data vs ModelConfig.in_size/in_channels
     model = _build_unet(task_cfg)
     t0 = time.perf_counter()
@@ -363,7 +397,8 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
         seq_tr, seq_state, hist, best = sequential_cross_validate(
             model, task_cfg.train, x, y, folds,
             epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose,
-            carry_weights=(cv_mode == "sequential_reference"))
+            carry_weights=(cv_mode == "sequential_reference"),
+            augment_cfg=aug_cfg)
         states = seq_state
 
         class _SeqAdapter:
@@ -378,7 +413,8 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
     else:
         tr, states, hist, best = cross_validate(
             model, task_cfg.train, x, y, folds, mesh=mesh,
-            epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose)
+            epochs_per_fold=list(sp.fold_epochs) or None, verbose=verbose,
+            augment_cfg=aug_cfg)
     train_time = time.perf_counter() - t0
 
     # per-fold sweeps on the best snapshot (the reference's
@@ -508,7 +544,8 @@ def holdout_runner_unet_infection_segmentation(
 
 def three_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="auto", cache_dir=None, save_figures=True, **kw
+    verbose=False, cv_mode="auto", cache_dir=None, save_figures=True,
+    use_augmentation=False, **kw
 ):
     """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
     in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
@@ -524,12 +561,14 @@ def three_fold_runner_unet_infection_segmentation(
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
                                 mesh=mesh, verbose=verbose, cv_mode=cv_mode,
-                                save_figures=save_figures)
+                                save_figures=save_figures,
+                                use_augmentation=use_augmentation)
 
 
 def four_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
-    verbose=False, cv_mode="auto", cache_dir=None, save_figures=True, **kw
+    verbose=False, cv_mode="auto", cache_dir=None, save_figures=True,
+    use_augmentation=False, **kw
 ):
     """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
     task_cfg = C.task1_4fold()
@@ -541,7 +580,8 @@ def four_fold_runner_unet_infection_segmentation(
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",
                                 mesh=mesh, verbose=verbose, cv_mode=cv_mode,
-                                save_figures=save_figures)
+                                save_figures=save_figures,
+                                use_augmentation=use_augmentation)
 
 
 def holdout_runner_unetplusplus_infection_segmentation(
@@ -569,7 +609,8 @@ def holdout_runner_unetplusplus_infection_segmentation(
 
 def runner_classification(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
-    use_augmentation=False, cache_dir=None, mesh=None, save_figures=True, **kw
+    use_augmentation=False, cache_dir=None, mesh=None, save_figures=True,
+    cls_dim=None, **kw
 ):
     """Task2 COVID-19 slice classification (ref task2_covid19_classifcation.py:6):
     stratified 70/30 split, balanced class weights, AUC tracking (RocCallback
@@ -579,8 +620,19 @@ def runner_classification(
     augmented samples appended to the train split with labels carried by
     index — the *fixed* form of the reference's corrupted-correspondence aug
     block (task2:575-619, SURVEY.md §8 Q6); 'batch'/True augments every
-    training batch on device (image-only)."""
+    training batch on device (image-only).
+
+    cls_dim: train the classifier at this input resolution instead of the
+    reference's 224 (preprocess + Flatten head move together). The serving
+    motivation: the classifier's C<128-lane convs are position-bound, so a
+    112² classifier quarters its measured one-stop overhead
+    (production.one_stop_infer(cls_hw=...))."""
     task_cfg = C.task2_classification()
+    if cls_dim is not None:
+        task_cfg = dataclasses.replace(
+            task_cfg,
+            preprocess=dataclasses.replace(task_cfg.preprocess, new_dim=cls_dim),
+            model=dataclasses.replace(task_cfg.model, in_size=cls_dim))
     if small_run:
         task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 4))
     task_cfg = _pop_qat(task_cfg, kw)
@@ -708,7 +760,7 @@ def runner_lung_segmentation(
 def runner_production_chain(
     data_dir=None, out_dir=None, small_run=False, verbose=False,
     cache_dir=None, mesh=None, threshold=0.5, save_figures=True,
-    lung_dim=None, classify=False, **kw
+    lung_dim=None, classify=False, cls_dim=None, **kw
 ):
     """CLI menu 'seven' — the chained no-ground-truth pipeline the
     reference's menu advertises but never implements (ref ``app.py:29``
@@ -795,6 +847,14 @@ def runner_production_chain(
     cls_res = cls_model = None
     if classify:
         task2 = C.task2_classification()
+        if cls_dim is not None:
+            # low-res serving classifier (one_stop_infer cls_hw): trained on
+            # the same crops at cls_dim; at serving the stage-3 crop is
+            # area-resized once for it (profile: scripts/profile_cls_overhead.py)
+            task2 = dataclasses.replace(
+                task2,
+                preprocess=dataclasses.replace(task2.preprocess, new_dim=cls_dim),
+                model=dataclasses.replace(task2.model, in_size=cls_dim))
         if small_run:
             task2 = _small(task2, epochs=task1.train.epochs)
         x_cls, y_cls = _maybe_cached(
@@ -806,7 +866,8 @@ def runner_production_chain(
             cls_kw["qat"] = True
         cls_res = runner_classification(
             data=(x_cls, y_cls), out_dir=out_dir, small_run=small_run,
-            verbose=verbose, mesh=mesh, save_figures=save_figures, **cls_kw)
+            verbose=verbose, mesh=mesh, save_figures=save_figures,
+            cls_dim=cls_dim, **cls_kw)
         m2 = task2.model
         cls_model = ClassifierCNN(
             widths=tuple(m2.cls_widths), dense=m2.cls_dense,
@@ -858,11 +919,12 @@ def runner_production_chain(
     if classify:
         from onestop_tpu.production import one_stop_infer
 
+        cd = cls_dim if cls_dim is not None and not small_run else None
         masks_os, cls_probs, _, _ = one_stop_infer(
             lung_model, _vars(lung_res), seg_model, _vars(seg_res),
             cls_model, _vars(cls_res), raw_u8,
             model_hw=(d, d), threshold=threshold, interpret=interp,
-            lung_hw=lung_hw)
+            lung_hw=lung_hw, cls_hw=None if cd is None else (cd, cd))
         # sanity: the classifier must not perturb the segmentation stage
         assert np.array_equal(np.asarray(masks_os), np.asarray(masks_chain))
         # per-slice GT label = infection present anywhere on the raw slice
@@ -877,6 +939,14 @@ def runner_production_chain(
 
             results["cls_auc"] = float(roc_auc(y_true.astype(np.float32),
                                                cls_probs))
+            # the free alternative: predicted-mask area as the infection
+            # score — zero marginal cost (the chain already computed the
+            # masks) and grounded in the segmentation stage, which is the
+            # part of the chain that transfers to unseen volumes
+            mask_area = np.asarray(masks_os, np.float64).reshape(
+                len(masks_os), -1).sum(axis=1)
+            results["cls_auc_mask_area"] = float(
+                roc_auc(y_true.astype(np.float32), mask_area))
         results["cls_val_auc"] = cls_res["auc"]
         # the classifier run's Platt constants, fitted on ITS validation
         # split — paste into `python -m onestop_tpu.serve --cls-calibration`

@@ -321,7 +321,8 @@ def chained_infer_int8(
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
-    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes",
+    "cls_hw"))
 def one_stop_infer_int8(
     lung_model,
     lung_q: dict,
@@ -340,6 +341,7 @@ def one_stop_infer_int8(
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
+    cls_hw: tuple[int, int] | None = None,
 ):
     """``production.one_stop_infer`` (lung seg + infection seg +
     classification, one jit, no GT) with all THREE models served int8 —
@@ -355,12 +357,13 @@ def one_stop_infer_int8(
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
                          lung_hw, cls_apply=cls_apply,
-                         refine_boxes=refine_boxes)
+                         refine_boxes=refine_boxes, cls_hw=cls_hw)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "cls_model", "model_hw", "lung_threshold",
-    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+    "threshold", "interpret", "ccl_stride", "lung_hw", "refine_boxes",
+    "cls_hw"))
 def one_stop_infer_mixed(
     lung_model,
     lung_variables,
@@ -378,6 +381,7 @@ def one_stop_infer_mixed(
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
+    cls_hw: tuple[int, int] | None = None,
 ):
     """One-stop chain with the ``chained_infer_mixed`` precision split:
     bf16 lung stage (boxes bit-identical to the bf16 chain — box refinement
@@ -391,7 +395,7 @@ def one_stop_infer_mixed(
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
                          lung_hw, cls_apply=cls_apply,
-                         refine_boxes=refine_boxes)
+                         refine_boxes=refine_boxes, cls_hw=cls_hw)
 
 
 @functools.partial(jax.jit, static_argnames=("out_hw", "threshold", "interpret"))

@@ -1,0 +1,77 @@
+"""Fresh-init 4-fold CV augmentation A/B (VERDICT r3 item 3).
+
+The honest (fresh-init) 4-fold mean-fold dice sits at 0.913 on the 16-case
+phantom bed (round2_quality.json, `q2_cv4`) vs the ≥0.95 north-star — the
+reference's published 0.956 embeds its cross-fold weight leak (SURVEY.md §8
+Q5; our `sequential_reference` parity mode brackets it at 0.963). The
+framework ships train-usable augmentation precisely to beat that number
+fairly, but no CV quality run with augmentation on was ever recorded.
+
+Same bed and law as the round-2 study (n_synthetic=16, synth_hw=512,
+synth_slices=40, seed=7; fresh init per fold, reference hyperparameters),
+three arms:
+
+  - no_aug      — reproduces the 0.913 baseline (re-run for A/B fairness
+                  against XLA autotune variance and code drift)
+  - aug_batch   — every training batch through the on-device joint
+                  flip/affine warp (per-fold keys)
+  - aug_concat  — per-fold materialized merge, n_samples per fold appended
+                  to that fold's train rows only (no leakage into any val)
+
+Writes artifacts_tpu/round4_cv_aug.json. Pass --arms to subset.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+KW = dict(n_synthetic=16, synth_hw=512, synth_slices=40, seed=7)
+ARMS = {"no_aug": False, "aug_batch": "batch", "aug_concat": "concat"}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arms", nargs="*", default=list(ARMS),
+                    choices=list(ARMS))
+    args = ap.parse_args()
+
+    from onestop_tpu.runners import four_fold_runner_unet_infection_segmentation
+
+    path = "artifacts_tpu/round4_cv_aug.json"
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+
+    for arm in args.arms:
+        t0 = time.time()
+        res = four_fold_runner_unet_infection_segmentation(
+            out_dir=f"artifacts_tpu/r4_cv_aug/{arm}",
+            use_augmentation=ARMS[arm], cache_dir="artifacts_tpu/cache_r2",
+            save_figures=False, **KW)
+        out[arm] = {
+            "mean_fold_dice": res.get("mean_fold_dice"),
+            "mean_fold_iou": res.get("mean_fold_iou"),
+            "per_fold_max_dice": res.get("per_fold_max_dice"),
+            "mean_fold_precision": res.get("mean_fold_precision"),
+            "mean_fold_recall": res.get("mean_fold_recall"),
+            "best_thresholds_dice": res.get("best_thresholds_dice"),
+            "train_seconds": res.get("train_seconds"),
+            "seconds": round(time.time() - t0, 1),
+        }
+        print(json.dumps({arm: out[arm]}), flush=True)
+        os.makedirs("artifacts_tpu", exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

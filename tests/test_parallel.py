@@ -325,3 +325,43 @@ def test_cv_shard_data_trains_and_shards(tiny_data):
     assert fshape[0] == 1            # one fold per device group
     assert fshape[1] == xt.shape[1] // 2   # train rows split over 'data'
     assert xv.sharding.shard_shape(xv.shape)[0] == 1  # val sharded by fold
+
+
+def test_cv_augmentation_batch_and_concat(tiny_data):
+    """CV augmentation paths (VERDICT r3 item 3): 'batch' feeds every
+    training batch through the on-device joint warp inside the fold-parallel
+    shard_map; 'concat' appends per-fold materialized pairs without touching
+    any fold's validation rows."""
+    from onestop_tpu.config import AugmentConfig
+    from onestop_tpu.parallel.cv import sequential_cross_validate
+    from onestop_tpu.runners import _concat_augmented_folds
+
+    x, y = tiny_data
+    folds = kfold_indices(len(x), 4, seed=42)
+    mesh = make_mesh(n_folds=4)
+    cfg = TrainConfig(batch_size=8, epochs=2, schedule="constant", learning_rate=1e-3)
+    aug = AugmentConfig(n_samples=6)
+
+    # batch mode trains under the mesh and produces finite per-fold history
+    tr, states, hist, best = cross_validate(
+        UNet(widths=(4,), bridge=8), cfg, x, y, folds, mesh=mesh, augment_cfg=aug)
+    assert np.isfinite(hist["loss"]).all() and hist["loss"].shape == (2, 4)
+    # aug changes the training stream: trajectories must differ from no-aug
+    _, _, hist0, _ = cross_validate(
+        UNet(widths=(4,), bridge=8), cfg, x, y, folds, mesh=mesh, augment_cfg=None)
+    assert not np.allclose(hist["loss"], hist0["loss"])
+
+    # sequential path takes the same augment_cfg
+    _, _, hists, _ = sequential_cross_validate(
+        UNet(widths=(4,), bridge=8), cfg, x, y, folds[:2],
+        epochs_per_fold=[1, 1], carry_weights=False, augment_cfg=aug)
+    assert all(np.isfinite(h["loss"]).all() for h in hists)
+
+    # concat: per-fold train extension, validation rows untouched
+    x2, y2, folds2 = _concat_augmented_folds(x, y, folds, aug, seed=1)
+    assert len(x2) == len(x) + 4 * aug.n_samples
+    for (tr0, va0), (tr2, va2) in zip(folds, folds2):
+        assert np.array_equal(va0, va2)
+        assert len(tr2) == len(tr0) + aug.n_samples
+        assert set(tr2[:len(tr0)]) == set(tr0)
+        assert all(i >= len(x) for i in tr2[len(tr0):])

@@ -250,3 +250,36 @@ def test_refined_boxes_equal_exact_ccl_on_same_grid():
                               refine_boxes=True, **kw)
     np.testing.assert_allclose(np.asarray(r1), np.asarray(e1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(r2), np.asarray(e2), atol=1e-5)
+
+
+def test_one_stop_infer_cls_hw_low_res_classifier(rng):
+    """cls_hw serves a classifier trained at a lower resolution on one extra
+    area-resize of the stage-3 crop (the lane-ceiling overhead lever,
+    VERDICT r3 item 6): segmentation outputs stay bitwise identical to the
+    plain chain, and the probabilities equal the classifier applied to the
+    resized crop directly."""
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.ops.pipeline import serving_preproc
+    from onestop_tpu.ops.resize import resize2d
+    from onestop_tpu.production import one_stop_infer
+
+    lung, vl, seg, vs = _models()
+    cls = ClassifierCNN(widths=(4, 8), dense=8)
+    vc = cls.init({"params": jax.random.PRNGKey(3)},
+                  jnp.zeros((1, 32, 32, 1)), train=False)
+    imgs = jnp.asarray(rng.integers(0, 256, (3, 128, 128), dtype=np.uint8))
+    kw = dict(model_hw=(64, 64), threshold=0.5, interpret=_INTERPRET)
+
+    ref_m, ref_b1, ref_b2 = chained_infer(lung, vl, seg, vs, imgs, **kw)
+    masks, probs, b1, b2 = one_stop_infer(lung, vl, seg, vs, cls, vc, imgs,
+                                          cls_hw=(32, 32), **kw)
+    np.testing.assert_array_equal(np.asarray(ref_m), np.asarray(masks))
+    np.testing.assert_array_equal(np.asarray(ref_b1), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(b2))
+    probs = np.asarray(probs)
+    assert probs.shape == (3,) and (probs >= 0).all() and (probs <= 1).all()
+
+    x3 = serving_preproc(imgs, b1, b2, (64, 64), interpret=_INTERPRET)
+    x32 = resize2d(x3[..., 0], (32, 32), "area")[..., None]
+    direct = np.asarray(cls.apply(vc, x32, train=False))[:, 0]
+    np.testing.assert_allclose(probs, direct, atol=1e-6)
