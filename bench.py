@@ -58,15 +58,22 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="serve the U-Net with s8xs8->s32 convs (opt-in; "
                          "quality deltas in RESULTS.md)")
+    ap.add_argument("--bf16", action="store_true",
+                    help="with --chained: serve everything bf16 (the "
+                         "pre-round-4 chained default; the promoted default "
+                         "is the mixed split — bf16 lung stage + int8 "
+                         "infection U-Net, round3_fast112_int8_diag.json)")
     ap.add_argument("--one-stop", action="store_true",
                     help="with --chained: serve the FULL one-stop chain "
                          "(lung seg + infection seg + classification in one "
                          "jit, production.one_stop_infer)")
     ap.add_argument("--lung-dim", type=int, default=None,
-                    help="with --chained: stage-1 lung resolution (e.g. 112; "
-                         "probability-field box refinement keeps the crop "
-                         "frame at raw precision — round3_refined_boxes.json "
-                         "measures dice parity with the 224 default)")
+                    help="with --chained: stage-1 lung resolution. Default "
+                         "112 (the promoted fast preset: probability-field "
+                         "box refinement keeps the crop frame at raw "
+                         "precision, measured dice parity with the 224 "
+                         "stage — round3_refined_boxes.json 0.9408 vs "
+                         "0.9405); pass 224 for the full-res stage")
     ap.add_argument("--no-extras", action="store_true",
                     help="headline number only: skip the chained/int8 "
                          "companion measurements the default run appends "
@@ -79,6 +86,23 @@ def main():
     args = ap.parse_args()
     if args.one_stop:
         args.chained = True  # one-stop IS the chained pipeline + classifier
+    if args.chained:
+        # ROUND-4 DEFAULT PROMOTION (VERDICT r3 item 4): the no-GT chain
+        # defaults to the measured-quality fast deployment config — 112²
+        # lung stage + probability-field box refinement (dice parity with
+        # the 224 stage, round3_refined_boxes.json) + the mixed precision
+        # split (bf16 lung + int8 infection U-Net: chained dice 0.9470 vs
+        # bf16's 0.9459 on the gate-passing checkpoint,
+        # round3_fast112_int8_diag.json; int8 sensitivity is per-checkpoint
+        # — gate the checkpoint you deploy with scripts/quality_int8.py, or
+        # train with --qat to remove the lottery). --bf16 and/or
+        # --lung-dim 224 restore the previous arms.
+        if args.lung_dim is None:
+            args.lung_dim = 112
+        if args.lung_dim >= args.out_hw:
+            args.lung_dim = None  # full-res stage 1 (== model resolution)
+        if not args.int8 and not args.bf16:
+            args.int8 = True
 
     # Watchdog, two phases (round-3 postmortem, VERDICT r3 weak #1):
     #  - backend init: a wedged TPU tunnel (CLAUDE.md "wedge mode") hangs
@@ -328,16 +352,23 @@ def main():
     if not (args.chained or args.int8 or args.no_extras or interpret):
         import subprocess
 
-        # pre-existing keys first: on a cold compile cache a slow early arm
-        # must drop the NEW key, not the ones prior rounds published
-        for name, flags in (("chained_noGT", ["--chained"]),
-                            ("chained_noGT_int8", ["--chained", "--int8"]),
+        # deployment-default chain first, then the historical arms under
+        # their round-3 key names (each key pins its full flag set so the
+        # round-4 default promotion cannot silently change an old key's
+        # meaning); on a cold compile cache a slow late arm drops itself,
+        # not the keys prior rounds published
+        for name, flags in (("chained_noGT_default", ["--chained"]),
+                            ("chained_noGT", ["--chained", "--bf16",
+                                              "--lung-dim", "224"]),
+                            ("chained_noGT_int8", ["--chained", "--int8",
+                                                   "--lung-dim", "224"]),
                             ("int8", ["--int8"]),
-                            ("chained_noGT_fast112", ["--chained", "--lung-dim", "112"]),
-                            ("chained_noGT_fast112_int8seg",
-                             ["--chained", "--lung-dim", "112", "--int8"]),
-                            ("one_stop", ["--one-stop"]),
-                            ("one_stop_int8", ["--one-stop", "--int8"])):
+                            ("chained_noGT_fast112",
+                             ["--chained", "--bf16", "--lung-dim", "112"]),
+                            ("one_stop", ["--one-stop", "--bf16",
+                                          "--lung-dim", "224"]),
+                            ("one_stop_int8", ["--one-stop", "--int8",
+                                               "--lung-dim", "224"])):
             if time.perf_counter() - _t_start > args.headline_deadline:
                 break
             try:
@@ -350,6 +381,11 @@ def main():
                 extras[f"{name}_slices_per_sec"] = line["value"]
             except Exception:
                 pass
+        if "chained_noGT_default_slices_per_sec" in extras:
+            # the round-3 key for this exact config (--chained --lung-dim
+            # 112 --int8 == today's default) — aliased, not re-measured
+            extras["chained_noGT_fast112_int8seg_slices_per_sec"] = \
+                extras["chained_noGT_default_slices_per_sec"]
         if extras:
             combined = {**headline, **extras}
             try:  # durable copy, survives any stdout-capture truncation

@@ -108,6 +108,7 @@ def serve_volumes(
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
+    cls_hw: tuple[int, int] | None = None,
     keep_masks: bool = False,
     cls_calibration: tuple[float, float] | None = None,
     interpret: bool = False,
@@ -154,7 +155,7 @@ def serve_volumes(
                 model_hw=model_hw, lung_threshold=lung_threshold,
                 threshold=threshold, interpret=interpret,
                 ccl_stride=ccl_stride, lung_hw=lung_hw,
-                refine_boxes=refine_boxes)
+                refine_boxes=refine_boxes, cls_hw=cls_hw)
         else:
             infer = lambda x: chained_infer_mixed(
                 lung_model, lung_variables,
@@ -174,7 +175,7 @@ def serve_volumes(
                 model_hw=model_hw, lung_threshold=lung_threshold,
                 threshold=threshold, interpret=interpret,
                 ccl_stride=ccl_stride, lung_hw=lung_hw,
-                refine_boxes=refine_boxes)
+                refine_boxes=refine_boxes, cls_hw=cls_hw)
         else:
             infer = lambda x: chained_infer_int8(
                 lung_model, quant["lung"], lung_variables,
@@ -193,7 +194,7 @@ def serve_volumes(
                 model_hw=model_hw, lung_threshold=lung_threshold,
                 threshold=threshold, interpret=interpret,
                 ccl_stride=ccl_stride, lung_hw=lung_hw,
-                refine_boxes=refine_boxes)
+                refine_boxes=refine_boxes, cls_hw=cls_hw)
         else:
             infer = lambda x: chained_infer(
                 lung_model, lung_variables, seg_model, seg_variables, x,
@@ -296,6 +297,7 @@ def calibrate_quant(
     lung_hw: tuple[int, int] | None = None,
     ccl_stride: int = 2,
     refine_boxes: bool = True,
+    cls_hw: tuple[int, int] | None = None,
     interpret: bool = False,
     n_cal: int = 8,
     quantize_lung: bool = True,
@@ -329,7 +331,10 @@ def calibrate_quant(
     if quantize_lung:
         quant["lung"] = quantize_model(lung_model, lung_variables, x_lung)
     if cls_model is not None:
-        quant["cls"] = quantize_model(cls_model, cls_variables, x_seg)
+        x_cls = x_seg
+        if cls_hw is not None and tuple(cls_hw) != tuple(model_hw):
+            x_cls = resize2d(x_seg[..., 0], cls_hw, "area")[..., None]
+        quant["cls"] = quantize_model(cls_model, cls_variables, x_cls)
     return quant
 
 
@@ -367,6 +372,10 @@ def main(argv=None):
     p.add_argument("--lung", required=True, help="lung U-Net checkpoint (.msgpack)")
     p.add_argument("--seg", required=True, help="infection U-Net checkpoint")
     p.add_argument("--cls", default=None, help="classifier checkpoint (optional)")
+    p.add_argument("--cls-dim", type=int, default=None,
+                   help="classifier input resolution (checkpoint must be "
+                        "trained at it; e.g. 112 quarters the classifier's "
+                        "chain overhead — profile_cls_overhead)")
     p.add_argument("--lung-dim", type=int, default=None,
                    help="stage-1 lung resolution (checkpoint must be trained at it)")
     p.add_argument("--int8", action="store_true",
@@ -409,7 +418,8 @@ def main(argv=None):
                                   bn_momentum=mc.bn_momentum,
                                   bn_epsilon=mc.bn_epsilon,
                                   dtype=jnp.bfloat16)
-        cls_vars = _load_vars(cls_model, args.cls, (d, d))
+        cd = args.cls_dim or d
+        cls_vars = _load_vars(cls_model, args.cls, (cd, cd))
 
     paths = _list_volumes(args.data_dir) if args.data_dir else args.volumes
     if not paths:
@@ -418,6 +428,8 @@ def main(argv=None):
     kw = dict(model_hw=(d, d), block=args.block, prefetch=args.prefetch,
               threshold=args.threshold,
               lung_hw=None if lung_dim == d else (lung_dim, lung_dim),
+              cls_hw=(None if not args.cls or (args.cls_dim or d) == d
+                      else (args.cls_dim, args.cls_dim)),
               refine_boxes=not args.no_refine_boxes,
               cls_calibration=(tuple(args.cls_calibration)
                                if args.cls_calibration else None),
@@ -436,6 +448,7 @@ def main(argv=None):
         quant = calibrate_quant(first, lung_model, lung_vars, seg_model,
                                 seg_vars, cls_model, cls_vars,
                                 model_hw=(d, d), lung_hw=kw["lung_hw"],
+                                cls_hw=kw["cls_hw"],
                                 refine_boxes=kw["refine_boxes"],
                                 interpret=args.interpret,
                                 # low-res lung stages keep stage 1 bf16
