@@ -9,6 +9,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onestop_tpu import config as C
 from onestop_tpu import runners as R
@@ -68,6 +69,7 @@ def test_monitor_drives_best_snapshots():
 
 # -- SplitConfig.stratified ---------------------------------------------------
 
+@pytest.mark.slow
 def test_stratified_flag_selects_splitter(tmp_path, monkeypatch):
     calls = {"strat": 0, "plain": 0}
     orig_s = R.stratified_shuffle_split_indices
@@ -122,6 +124,7 @@ def test_image_only_aug_labels_stay_aligned():
         np.testing.assert_allclose(aug[k], np.asarray(imgs)[idx[k]][:, ::-1])
 
 
+@pytest.mark.slow
 def test_concat_augmentation_grows_train_set(tmp_path):
     base = R.runner_lung_segmentation(out_dir=tmp_path / "a", **_KW)
     aug = R.runner_lung_segmentation(out_dir=tmp_path / "b",
@@ -133,6 +136,7 @@ def test_concat_augmentation_grows_train_set(tmp_path):
 
 # -- cache wiring --------------------------------------------------------------
 
+@pytest.mark.slow
 def test_runner_cache_skips_second_ingestion(tmp_path, monkeypatch):
     calls = {"n": 0}
     orig = R._case_slice_triples
@@ -171,6 +175,7 @@ def test_monitor_unproducible_raises():
         tr.fit(st, x, y, x, y)
 
 
+@pytest.mark.slow
 def test_cache_key_includes_data_source(tmp_path):
     """Review r2: same preprocess config but a different dataset must not
     serve stale cached arrays."""

@@ -5,6 +5,7 @@ stay within a small, measured delta of it."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onestop_tpu.models import UNet
 from onestop_tpu.serve_int8 import (
@@ -62,6 +63,7 @@ def test_int8_quality_delta_and_agreement(rng):
     assert agree > 0.99, agree
 
 
+@pytest.mark.slow
 def test_fused_infer_int8_end_to_end(rng):
     _, v = _trained_like_variables(rng)
     q = calibrate_and_quantize(
@@ -101,6 +103,7 @@ def test_generic_int8_matches_unet_specific(rng):
     np.testing.assert_allclose(got, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_generic_int8_unetpp(rng):
     from onestop_tpu.models import UNetPP
     from onestop_tpu.serve_int8 import apply_int8_model, quantize_model
@@ -135,6 +138,7 @@ def test_generic_int8_classifier(rng):
     assert np.abs(ref - got).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_chained_infer_int8_end_to_end(rng):
     """Both chain U-Nets served int8 through the shared stage implementation
     (production._chain_stages): shapes, dtypes, determinism, and boxes inside
@@ -161,6 +165,7 @@ def test_chained_infer_int8_end_to_end(rng):
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
 
 
+@pytest.mark.slow
 def test_one_stop_infer_int8_end_to_end(rng):
     """All three families int8 through the shared stage implementation: the
     segmentation outputs must be bitwise identical to chained_infer_int8
@@ -194,6 +199,7 @@ def test_one_stop_infer_int8_end_to_end(rng):
     assert (probs >= 0).all() and (probs <= 1).all()
 
 
+@pytest.mark.slow
 def test_chained_mixed_boxes_bitidentical_to_bf16():
     """The mixed split (bf16 lung stage + int8 infection U-Net,
     serve_int8.chained_infer_mixed) must produce boxes BIT-identical to the
@@ -223,6 +229,7 @@ def test_chained_mixed_boxes_bitidentical_to_bf16():
     assert m.shape == (2, hw, hw, 1)
 
 
+@pytest.mark.slow
 def test_serve_volumes_mixed_quant(tmp_path):
     """quant without a 'lung' key routes through the mixed split."""
     import numpy as np

@@ -27,6 +27,7 @@ def _convt(cin, cout):
     return (2 * 2 * cin + 1) * cout
 
 
+@pytest.mark.slow
 def test_unet_param_count_matches_keras_formula():
     widths, bridge = (32, 64, 128, 256), 512
     total, cin = 0, 1
@@ -86,6 +87,7 @@ def test_eval_mode_deterministic():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats_and_uses_dropout():
     model = UNet()
     variables = _init(model)

@@ -31,6 +31,7 @@ def tiny_data():
     return x, masks
 
 
+@pytest.mark.slow
 def test_cross_validate_fold_parallel(tiny_data):
     x, y = tiny_data
     folds = kfold_indices(len(x), 4, seed=42)
@@ -44,6 +45,7 @@ def test_cross_validate_fold_parallel(tiny_data):
     assert hist["loss"][-1].mean() < hist["loss"][0].mean()
 
 
+@pytest.mark.slow
 def test_unequal_epoch_budgets_freeze_folds(tiny_data):
     """3-fold 80/20/20 analog: folds over budget must stop changing."""
     x, y = tiny_data
@@ -88,6 +90,7 @@ def _dp_setup(tiny_data, mesh):
     return tr, state, x, y
 
 
+@pytest.mark.slow
 def test_dp_trainer_matches_single_device(tiny_data):
     """Whole training trajectory (losses, val metrics, final params) of the
     8-way data-parallel Trainer must equal the single-device run to float
@@ -112,6 +115,7 @@ def test_dp_trainer_matches_single_device(tiny_data):
     np.testing.assert_allclose(hist_d["val_metric"], hist_s["val_metric"], rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_gradients_match_single_device(tiny_data):
     """VERDICT r1 #2 'done' criterion (a): psum'd DP gradients == the
     single-device gradient of the batch-global loss, to float tolerance."""
@@ -173,6 +177,7 @@ def test_dp_trainer_hlo_has_allreduce(tiny_data):
     assert "all-reduce" in txt
 
 
+@pytest.mark.slow
 def test_fold_parallel_dp_matches_vmap_folds(tiny_data):
     """{'fold':4,'data':2} (8 devices, batch split 2-way inside each fold)
     must reproduce the meshless vmap-over-folds run: the intra-fold psum/
@@ -197,6 +202,7 @@ def test_fold_parallel_dp_matches_vmap_folds(tiny_data):
 # dataset/n_devices, permutation drawn on device
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_dp_shard_data_shapes_and_single_batch_equality(tiny_data):
     """shard_data=True: the train set shards 8 ways (per-shard rows =
     n/8) and, when one batch spans the whole dataset, the trajectory equals
@@ -234,6 +240,7 @@ def test_dp_shard_data_shapes_and_single_batch_equality(tiny_data):
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dp_shard_data_matches_emulated_hierarchical_shuffle(tiny_data):
     """Multi-step case: the sharded-data trainer's trajectory must equal a
     single-device run fed the SAME hierarchical permutation (device d's
@@ -285,6 +292,7 @@ def test_dp_shard_data_matches_emulated_hierarchical_shuffle(tiny_data):
     np.testing.assert_allclose(hist_s["loss"], losses, rtol=3e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_cv_shard_data_trains_and_shards(tiny_data):
     """FoldParallelTrainer(shard_data=True) on {'fold':4,'data':2}: fold data
     stacked + sharded (no full-dataset replica), training still improves, and
@@ -327,6 +335,7 @@ def test_cv_shard_data_trains_and_shards(tiny_data):
     assert xv.sharding.shard_shape(xv.shape)[0] == 1  # val sharded by fold
 
 
+@pytest.mark.slow
 def test_cv_augmentation_batch_and_concat(tiny_data):
     """CV augmentation paths (VERDICT r3 item 3): 'batch' feeds every
     training batch through the on-device joint warp inside the fold-parallel

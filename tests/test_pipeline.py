@@ -5,6 +5,7 @@ wired together (SURVEY.md §8 Q2)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onestop_tpu.models import UNet
 from onestop_tpu.ops.pipeline import fused_infer, lung_boxes_batch
@@ -12,6 +13,7 @@ from onestop_tpu.ops.pipeline import fused_infer, lung_boxes_batch
 _INTERPRET = True  # tests run on CPU
 
 
+@pytest.mark.slow
 def test_fused_infer_shapes_and_threshold(rng):
     model = UNet(widths=(4, 8), bridge=16)
     v = model.init({"params": jax.random.PRNGKey(0)},
@@ -28,6 +30,7 @@ def test_fused_infer_shapes_and_threshold(rng):
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(probs) > 0.5)
 
 
+@pytest.mark.slow
 def test_full_production_chain_lung_model_to_infection(rng):
     """Lung masks -> bboxes -> fused infection inference: the chain."""
     masks01 = np.zeros((2, 128, 128), np.float32)
@@ -46,6 +49,7 @@ def test_full_production_chain_lung_model_to_infection(rng):
     assert np.isfinite(np.asarray(probs)).all()
 
 
+@pytest.mark.slow
 def test_serving_precision_matches_exact_path(rng):
     """VERDICT r1 #1 parity assertion: the optimized serving chain (bf16
     crop matmuls + pre-cast input) must agree with an exact fp32-HIGHEST
@@ -77,6 +81,7 @@ def test_serving_precision_matches_exact_path(rng):
     assert agree > 0.995, agree
 
 
+@pytest.mark.slow
 def test_fused_infer_sharded_matches_single_device(rng):
     """Data-parallel serving over the 8-device virtual mesh must equal the
     single-device chain exactly (pure DP, replicated weights, no collectives)."""

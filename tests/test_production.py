@@ -6,6 +6,7 @@ The reference cannot run its infection pipeline without GT lung masks
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onestop_tpu import config as C
 from onestop_tpu.data.synthetic import synthetic_case
@@ -42,6 +43,7 @@ def test_chained_infer_shapes_boxes_and_determinism(rng):
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
 
 
+@pytest.mark.slow
 def test_chained_boxes_track_true_lungs():
     """With a lung model that returns the (resized) truth, predicted boxes
     must land on the synthetic phantom's lungs in raw coordinates."""
@@ -131,6 +133,7 @@ def test_build_plain_lung_dataset_shapes_and_range():
     assert (np.asarray(y) > 0.5).mean() > 0.01
 
 
+@pytest.mark.slow
 def test_one_stop_infer_masks_match_chain_and_probs_valid(rng):
     """one_stop_infer = chained_infer + classifier on the SAME stage-3 input:
     segmentation outputs must be bitwise identical to the plain chain, and
@@ -169,6 +172,7 @@ def test_one_stop_infer_masks_match_chain_and_probs_valid(rng):
     np.testing.assert_allclose(probs, direct, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_chained_infer_sharded_matches_single_device(rng):
     """Data-parallel no-GT chain over the 8-device virtual mesh must equal
     the single-device chain exactly (pure DP, replicated weights)."""
@@ -188,6 +192,7 @@ def test_chained_infer_sharded_matches_single_device(rng):
     np.testing.assert_array_equal(np.asarray(ref_b2), np.asarray(got_b2))
 
 
+@pytest.mark.slow
 def test_one_stop_infer_sharded_matches_single_device(rng):
     """DP one-stop chain over the 8-device virtual mesh == single-device
     one-stop chain exactly (pure DP, replicated weights)."""
@@ -252,6 +257,7 @@ def test_refined_boxes_equal_exact_ccl_on_same_grid():
     np.testing.assert_allclose(np.asarray(r2), np.asarray(e2), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_one_stop_infer_cls_hw_low_res_classifier(rng):
     """cls_hw serves a classifier trained at a lower resolution on one extra
     area-resize of the stage-3 crop (the lane-ceiling overhead lever,

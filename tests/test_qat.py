@@ -8,6 +8,7 @@ plain-trained twin's do."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from onestop_tpu.config import TrainConfig
 from onestop_tpu.models import UNet
@@ -24,6 +25,7 @@ def _tiny_unet(seed=0, s2d=False):
     return model, v
 
 
+@pytest.mark.slow
 def test_qat_forward_tracks_plain_and_grads_flow(rng):
     model, v = _tiny_unet()
     x = jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32)
@@ -99,6 +101,7 @@ def _train_tiny(qat: bool, x, y):
     return model, tr, state, hist
 
 
+@pytest.mark.slow
 def test_trainer_qat_end_to_end_and_serving_robustness(rng):
     """Trainer(qat=True) trains (loss falls), predict() runs fake-quantized
     (mirrors deployment), and the QAT checkpoint's int8-vs-own-f32 output
@@ -135,6 +138,7 @@ def test_trainer_qat_end_to_end_and_serving_robustness(rng):
     assert d_qat <= d_plain * 1.25, (d_qat, d_plain)
 
 
+@pytest.mark.slow
 def test_runner_accepts_qat_flag(tmp_path):
     """Runner-surface wiring: qat=True reaches the Trainer (its predict is
     the fake-quant forward) and the run completes end to end."""
@@ -163,6 +167,7 @@ def test_runner_accepts_qat_flag(tmp_path):
     assert not np.array_equal(pred, plain)
 
 
+@pytest.mark.slow
 def test_qat_composes_with_dp_mesh(rng):
     """QAT under 8-way data-parallel training: the flax interceptor must fire
     inside the shard_map'd train/eval/predict programs (sync-BN engaged).
@@ -205,6 +210,7 @@ def test_qat_composes_with_dp_mesh(rng):
     assert np.abs(pred - fq).mean() < 0.05
 
 
+@pytest.mark.slow
 def test_qat_reaches_fold_parallel_cv(rng):
     """'--qat' on the CV runners must actually fake-quantize the
     fold-parallel programs (FoldParallelTrainer), not just train.Trainer:

@@ -49,6 +49,7 @@ def test_metadata_resolves_kaggle_prefixes(kaggle_tree):
     assert rows[-1]["infection_mask"].endswith(".nii.gz")
 
 
+@pytest.mark.slow
 def test_all_seven_runners_on_kaggle_tree(kaggle_tree, tmp_path):
     """Every public entry point end-to-end against the 20-case tree through
     the native loader, sharing one ingestion cache."""

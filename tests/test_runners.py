@@ -9,6 +9,7 @@ from onestop_tpu import runners as R
 _KW = dict(small_run=True, n_synthetic=2, synth_hw=128, synth_slices=10)
 
 
+@pytest.mark.slow
 def test_holdout_unet(tmp_path):
     res = R.holdout_runner_unet_infection_segmentation(out_dir=tmp_path, **_KW)
     assert 0 <= res["val_dice"] <= 1
@@ -25,6 +26,7 @@ def test_holdout_unet(tmp_path):
         assert (tmp_path / fig).exists(), fig
 
 
+@pytest.mark.slow
 def test_three_fold(tmp_path):
     res = R.three_fold_runner_unet_infection_segmentation(out_dir=tmp_path, **_KW)
     assert res["n_folds"] == 3
@@ -37,12 +39,14 @@ def test_three_fold(tmp_path):
         assert (tmp_path / fig).exists(), fig
 
 
+@pytest.mark.slow
 def test_four_fold(tmp_path):
     res = R.four_fold_runner_unet_infection_segmentation(out_dir=tmp_path, **_KW)
     assert res["n_folds"] == 4
     assert 0 <= res["mean_fold_iou"] <= 1
 
 
+@pytest.mark.slow
 def test_three_fold_sequential_reference_mode(tmp_path):
     """Weight-carrying sequential CV (reference-parity, SURVEY.md §8 Q5)."""
     res = R.three_fold_runner_unet_infection_segmentation(
@@ -51,6 +55,7 @@ def test_three_fold_sequential_reference_mode(tmp_path):
     assert 0 <= res["mean_fold_dice"] <= 1
 
 
+@pytest.mark.slow
 def test_unetpp(tmp_path):
     res = R.holdout_runner_unetplusplus_infection_segmentation(out_dir=tmp_path, **_KW)
     assert 0 <= res["val_dice"] <= 1
@@ -71,6 +76,7 @@ def test_classification(tmp_path):
         assert (tmp_path / fig).exists(), fig
 
 
+@pytest.mark.slow
 def test_lung_segmentation(tmp_path):
     res = R.runner_lung_segmentation(out_dir=tmp_path, **_KW)
     assert 0 <= res["val_dice"] <= 1
@@ -114,6 +120,7 @@ def test_cli_dispatch(tmp_path, monkeypatch, capsys):
     assert "runner_lung_segmentation" in out
 
 
+@pytest.mark.slow
 def test_production_chain_runner(tmp_path):
     """Menu 'seven': the chained no-GT pipeline trains both stages and
     reports the predicted-vs-GT-box dice delta."""
@@ -126,6 +133,7 @@ def test_production_chain_runner(tmp_path):
     assert (tmp_path / "production_chain_gallery.png").exists()
 
 
+@pytest.mark.slow
 def test_production_chain_runner_one_stop_classify(tmp_path):
     """Menu 'seven' --classify: the full one-stop chain (lung seg +
     infection seg + classification) trains all three models and reports the
