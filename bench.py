@@ -368,7 +368,8 @@ def main():
                             ("one_stop", ["--one-stop", "--bf16",
                                           "--lung-dim", "224"]),
                             ("one_stop_int8", ["--one-stop", "--int8",
-                                               "--lung-dim", "224"])):
+                                               "--lung-dim", "224"]),
+                            ("one_stop_default", ["--one-stop"])):
             if time.perf_counter() - _t_start > args.headline_deadline:
                 break
             try:
