@@ -33,7 +33,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 KW = dict(n_synthetic=16, synth_hw=512, synth_slices=40, seed=7)
-ARMS = {"no_aug": False, "aug_batch": "batch", "aug_concat": "concat"}
+# aug arms (VERDICT item 3) + QAT arms: the round-4 holdout A/B measured
+# fake-quant training as a strong regularizer on this bed (infection val
+# 0.8772 -> 0.9697, round4_qat{,_twin}.json) — if that transfers to CV it
+# may clear the >=0.95 bar on its own or compound with augmentation
+ARMS = {"no_aug": (False, False), "aug_batch": ("batch", False),
+        "aug_concat": ("concat", False), "qat": (False, True),
+        "aug_batch_qat": ("batch", True)}
 
 
 def main():
@@ -52,9 +58,10 @@ def main():
 
     for arm in args.arms:
         t0 = time.time()
+        aug, qat = ARMS[arm]
         res = four_fold_runner_unet_infection_segmentation(
             out_dir=f"artifacts_tpu/r4_cv_aug/{arm}",
-            use_augmentation=ARMS[arm], cache_dir="artifacts_tpu/cache_r2",
+            use_augmentation=aug, qat=qat, cache_dir="artifacts_tpu/cache_r2",
             save_figures=False, **KW)
         out[arm] = {
             "mean_fold_dice": res.get("mean_fold_dice"),
