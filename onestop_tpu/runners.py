@@ -545,7 +545,7 @@ def holdout_runner_unet_infection_segmentation(
 def three_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
     verbose=False, cv_mode="auto", cache_dir=None, save_figures=True,
-    use_augmentation=False, **kw
+    use_augmentation=False, fold_epochs=None, **kw
 ):
     """Task1 3-fold CV U-Net (ref task1_crossval_3folds_unet.py:6); folds run
     in parallel on the mesh 'fold' axis, epochs 80/20/20 preserved via no-op
@@ -557,6 +557,10 @@ def three_fold_runner_unet_infection_segmentation(
         task_cfg = _small(task_cfg, epochs=3)
         task_cfg = dataclasses.replace(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(3, 2, 2)))
+    if fold_epochs is not None:  # budget override (e.g. longer aug training)
+        task_cfg = dataclasses.replace(
+            task_cfg, split=dataclasses.replace(task_cfg.split,
+                                                fold_epochs=tuple(fold_epochs)))
     task_cfg = _pop_qat(task_cfg, kw)
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_3fold",
@@ -568,7 +572,7 @@ def three_fold_runner_unet_infection_segmentation(
 def four_fold_runner_unet_infection_segmentation(
     data=None, data_dir=None, out_dir=None, small_run=False, mesh=None,
     verbose=False, cv_mode="auto", cache_dir=None, save_figures=True,
-    use_augmentation=False, **kw
+    use_augmentation=False, fold_epochs=None, **kw
 ):
     """Task1 4-fold CV U-Net (ref task1_crossval_4folds_unet.py:6)."""
     task_cfg = C.task1_4fold()
@@ -576,6 +580,10 @@ def four_fold_runner_unet_infection_segmentation(
         task_cfg = _small(task_cfg, epochs=2)
         task_cfg = dataclasses.replace(
             task_cfg, split=dataclasses.replace(task_cfg.split, fold_epochs=(2, 2, 2, 2)))
+    if fold_epochs is not None:  # budget override (e.g. longer aug training)
+        task_cfg = dataclasses.replace(
+            task_cfg, split=dataclasses.replace(task_cfg.split,
+                                                fold_epochs=tuple(fold_epochs)))
     task_cfg = _pop_qat(task_cfg, kw)
     x, y = _seg_data(data, data_dir, task_cfg, cache_dir, "task1", kw)
     return _run_cv_segmentation(task_cfg, x, y, out_dir, "unet_covid_4fold",

@@ -37,9 +37,14 @@ KW = dict(n_synthetic=16, synth_hw=512, synth_slices=40, seed=7)
 # fake-quant training as a strong regularizer on this bed (infection val
 # 0.8772 -> 0.9697, round4_qat{,_twin}.json) — if that transfers to CV it
 # may clear the >=0.95 bar on its own or compound with augmentation
-ARMS = {"no_aug": (False, False), "aug_batch": ("batch", False),
-        "aug_concat": ("concat", False), "qat": (False, True),
-        "aug_batch_qat": ("batch", True)}
+ARMS = {"no_aug": (False, False, None), "aug_batch": ("batch", False, None),
+        "aug_concat": ("concat", False, None), "qat": (False, True, None),
+        "aug_batch_qat": ("batch", True, None),
+        # per-batch aug makes every epoch a fresh draw — the reference's
+        # 80-epoch budget under-trains it (first pass: fold variance
+        # 0.737-0.978); double the budget for the aug arm
+        "aug_batch_160": ("batch", False, (160, 160, 160, 160)),
+        "qat_160": (False, True, (160, 160, 160, 160))}
 
 
 def main():
@@ -58,10 +63,11 @@ def main():
 
     for arm in args.arms:
         t0 = time.time()
-        aug, qat = ARMS[arm]
+        aug, qat, fe = ARMS[arm]
         res = four_fold_runner_unet_infection_segmentation(
             out_dir=f"artifacts_tpu/r4_cv_aug/{arm}",
-            use_augmentation=aug, qat=qat, cache_dir="artifacts_tpu/cache_r2",
+            use_augmentation=aug, qat=qat, fold_epochs=fe,
+            cache_dir="artifacts_tpu/cache_r2",
             save_figures=False, **KW)
         out[arm] = {
             "mean_fold_dice": res.get("mean_fold_dice"),
