@@ -67,6 +67,12 @@ def main():
                     help="with --chained: serve the FULL one-stop chain "
                          "(lung seg + infection seg + classification in one "
                          "jit, production.one_stop_infer)")
+    ap.add_argument("--cls-dim", type=int, default=None,
+                    help="with --one-stop: classifier input resolution "
+                         "(cls_hw) — e.g. 112 cuts the classifier's "
+                         "lane-ceiling-bound overhead (positions, not "
+                         "FLOPs); the deployed checkpoint must be trained "
+                         "at it (runner --cls-dim)")
     ap.add_argument("--lung-dim", type=int, default=None,
                     help="with --chained: stage-1 lung resolution. Default "
                          "112 (the promoted fast preset: probability-field "
@@ -205,9 +211,12 @@ def main():
             # (probs kept in the output so XLA cannot dead-code it away)
             from onestop_tpu.models import ClassifierCNN
 
+            cd = args.cls_dim or o
             cls_model = ClassifierCNN(dtype=jnp.bfloat16)
             cls_vars = cls_model.init({"params": jax.random.PRNGKey(2)},
-                                      jnp.zeros((1, o, o, 1)), train=False)
+                                      jnp.zeros((1, cd, cd, 1)), train=False)
+            cls_hw = None if cd == o else (cd, cd)
+            tag += "" if cls_hw is None else f"_cls{cd}"
         if args.int8:
             from onestop_tpu.serve_int8 import (
                 chained_infer_int8, chained_infer_mixed, one_stop_infer_int8,
@@ -223,7 +232,9 @@ def main():
             q_lung = None if mixed else quantize_model(model, lung_vars, x_cal)
             itag = "int8seg" if mixed else "int8"
             if args.one_stop:
-                q_cls = quantize_model(cls_model, cls_vars, x_cal)
+                x_cal_cls = x_cal if cls_hw is None else jnp.asarray(
+                    rng.random((8, cd, cd, 1)), jnp.float32)
+                q_cls = quantize_model(cls_model, cls_vars, x_cal_cls)
                 metric = f"one_stop_{itag}_2xunet+cls{tag}_{args.in_hw}px_slices"
 
                 def one_chunk(xc):
@@ -231,12 +242,14 @@ def main():
                         masks, probs, _, _ = one_stop_infer_mixed(
                             model, lung_vars, model, q_seg, variables,
                             cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
-                            threshold=0.5, interpret=interpret, lung_hw=lung_hw)
+                            threshold=0.5, interpret=interpret,
+                            lung_hw=lung_hw, cls_hw=cls_hw)
                     else:
                         masks, probs, _, _ = one_stop_infer_int8(
                             model, q_lung, lung_vars, model, q_seg, variables,
                             cls_model, q_cls, cls_vars, xc, model_hw=(o, o),
-                            threshold=0.5, interpret=interpret, lung_hw=lung_hw)
+                            threshold=0.5, interpret=interpret,
+                            lung_hw=lung_hw, cls_hw=cls_hw)
                     return masks, probs
             else:
                 metric = f"chained_noGT_{itag}_2xunet{tag}_{args.in_hw}px_slices"
@@ -260,7 +273,7 @@ def main():
                 masks, probs, _, _ = one_stop_infer(
                     model, lung_vars, model, variables, cls_model, cls_vars,
                     xc, model_hw=(o, o), threshold=0.5, interpret=interpret,
-                    lung_hw=lung_hw)
+                    lung_hw=lung_hw, cls_hw=cls_hw)
                 return masks, probs
         else:
             metric = f"chained_noGT_preproc+2xunet{tag}_{args.in_hw}px_slices"
