@@ -51,11 +51,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arms", nargs="*", default=list(ARMS),
                     choices=list(ARMS))
+    ap.add_argument("--seed", type=int, default=None,
+                    help="override the phantom-bed seed (default 7); results "
+                         "go to round4_cv_aug_seed{N}.json with fresh caches "
+                         "so a replication can't silently reuse seed-7 data")
     args = ap.parse_args()
+    kw, path_tag, cache = dict(KW), "", "artifacts_tpu/cache_r2"
+    if args.seed is not None and args.seed != KW["seed"]:
+        kw["seed"] = args.seed
+        path_tag = f"_seed{args.seed}"
+        cache = f"artifacts_tpu/cache_cv_seed{args.seed}"
 
     from onestop_tpu.runners import four_fold_runner_unet_infection_segmentation
 
-    path = "artifacts_tpu/round4_cv_aug.json"
+    path = f"artifacts_tpu/round4_cv_aug{path_tag}.json"
     out = {}
     if os.path.exists(path):
         with open(path) as f:
@@ -65,10 +74,10 @@ def main():
         t0 = time.time()
         aug, qat, fe = ARMS[arm]
         res = four_fold_runner_unet_infection_segmentation(
-            out_dir=f"artifacts_tpu/r4_cv_aug/{arm}",
+            out_dir=f"artifacts_tpu/r4_cv_aug{path_tag}/{arm}",
             use_augmentation=aug, qat=qat, fold_epochs=fe,
-            cache_dir="artifacts_tpu/cache_r2",
-            save_figures=False, **KW)
+            cache_dir=cache,
+            save_figures=False, **kw)
         out[arm] = {
             "mean_fold_dice": res.get("mean_fold_dice"),
             "mean_fold_iou": res.get("mean_fold_iou"),
