@@ -38,7 +38,17 @@ import numpy as np
 from onestop_tpu.data.ingest import _to_u8, load_slices
 from onestop_tpu.data.native import load_fdata_any
 
-__all__ = ["VolumeReport", "serve_volumes", "serve_directory"]
+__all__ = ["VolumeReport", "serve_volumes", "serve_directory",
+           "MASK_SLICE_THRESHOLD"]
+
+# Default per-slice infected-mask-fraction above which a slice is reported
+# infected (VolumeReport.summary "infected_slices_by_mask"). The reference's
+# label rule is any-nonzero-pixel on GT masks (task2:413-418); a small
+# AREA-FRACTION floor (16 pixels at the default 224² serving grid — scale it
+# via the summary's mask_slice_threshold arg if serving at a much smaller
+# model_hw) rejects speckle on *predicted* masks while staying well under
+# any real lesion's footprint.
+MASK_SLICE_THRESHOLD = 16 / (224 * 224)
 
 
 @dataclasses.dataclass
@@ -54,9 +64,22 @@ class VolumeReport:
     masks: np.ndarray | None           # (S, oh, ow) bool, only if keep_masks
     load_seconds: float                # host decode+window+resize wall time
     compute_seconds: float             # dispatch→fetch wall time for the volume
+    thresholded: bool = True           # False when served with threshold=None
+    #   (infection_fraction is then a mean PROBABILITY, not a mask fraction,
+    #   and the mask-derived slice classification below is suppressed)
 
-    def summary(self, cls_threshold: float = 0.5) -> dict:
-        """JSON-friendly one-stop summary."""
+    def summary(self, cls_threshold: float = 0.5,
+                mask_slice_threshold: float = MASK_SLICE_THRESHOLD) -> dict:
+        """JSON-friendly one-stop summary.
+
+        ``infected_slices_by_mask`` is the mask-derived slice classification:
+        a slice counts as infected when its predicted-infected pixel fraction
+        exceeds ``mask_slice_threshold``. On held-out volumes this zero-cost
+        signal ranks slices far better than the task2 classifier's saturated
+        sigmoids (per-slice AUC study: `artifacts_tpu/round4_cls_mask_auc.json`
+        vs the classifier's pooled transfer AUC in `round4_cls_transfer.json`),
+        so volume reports always include it — with or without a classifier.
+        """
         out = {
             "path": self.path,
             "n_slices": self.n_slices,
@@ -65,6 +88,12 @@ class VolumeReport:
             "load_seconds": round(self.load_seconds, 4),
             "compute_seconds": round(self.compute_seconds, 4),
         }
+        if self.thresholded:
+            # meaningless for threshold=None runs, where infection_fraction
+            # is a mean probability (~0.5 everywhere), not a mask fraction
+            out["infected_slices_by_mask"] = int(
+                (self.infection_fraction > mask_slice_threshold).sum())
+            out["mask_slice_threshold"] = mask_slice_threshold
         if self.cls_probs is not None:
             out["infected_slices"] = int((self.cls_probs > cls_threshold).sum())
             out["max_cls_prob"] = float(self.cls_probs.max())
@@ -268,7 +297,8 @@ def serve_volumes(
                     path=path, n_slices=n, boxes1=b1, boxes2=b2,
                     infection_fraction=fr, cls_probs=cls_p, masks=masks,
                     load_seconds=load_s,
-                    compute_seconds=time.perf_counter() - t0)
+                    compute_seconds=time.perf_counter() - t0,
+                    thresholded=threshold is not None)
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
 

@@ -37,15 +37,7 @@ from onestop_tpu import config as C
 from onestop_tpu import runners as R
 from onestop_tpu.models import ClassifierCNN
 from onestop_tpu.production import chained_infer, one_stop_infer
-from onestop_tpu.train.checkpoint import load_checkpoint
-
-
-def _load(model, path, in_hw):
-    tmpl = model.init({"params": jax.random.PRNGKey(0)},
-                      jnp.zeros((1,) + in_hw + (1,), jnp.float32), train=False)
-    params, bstats = load_checkpoint(path, tmpl["params"],
-                                     tmpl.get("batch_stats", {}))
-    return {"params": params, "batch_stats": bstats}
+from onestop_tpu.train.checkpoint import load_model_variables as _load
 
 
 def main():

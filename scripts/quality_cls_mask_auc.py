@@ -26,6 +26,10 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import dataclasses
 
@@ -38,10 +42,19 @@ from onestop_tpu.metrics.classification import roc_auc
 from onestop_tpu.production import chained_infer
 from onestop_tpu.train.checkpoint import load_model_variables
 
-# the quality_cls_transfer.py bed, verbatim
-KW = dict(n_synthetic=28, synth_hw=512, synth_slices=40, seed=11,
-          infected_fraction=0.75, infection_z_band=(0.25, 0.75))
-N_HELDOUT = 6
+# the quality_cls_transfer.py bed — imported, not copied, so the two
+# studies cannot silently diverge if the bed is ever tuned
+from quality_cls_transfer import KW, N_HELDOUT
+
+
+def _classifier_baseline():
+    """The task2 classifier's measured held-out pooled AUC on this bed,
+    read from the transfer study's artifact (None if it hasn't run)."""
+    try:
+        with open("artifacts_tpu/round4_cls_transfer.json") as f:
+            return json.load(f)["arms"]["no_aug"]["heldout_auc_pooled"]
+    except (OSError, KeyError, TypeError, ValueError):
+        return None
 
 
 def main():
@@ -96,7 +109,7 @@ def main():
         "auc_prob_mass": float(roc_auc(y_all, np.concatenate(mass).astype(np.float32))),
         "auc_prob_max": float(roc_auc(y_all, np.concatenate(pmax).astype(np.float32))),
         "per_volume": per_vol,
-        "classifier_pooled_auc_same_bed": 0.7385,  # round4_cls_transfer no_aug
+        "classifier_pooled_auc_same_bed": _classifier_baseline(),
         "checkpoints": "r4_chain_ld112_twin (plain-trained)",
     }
     print(json.dumps(out), flush=True)

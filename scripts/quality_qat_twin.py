@@ -14,12 +14,12 @@ n_synthetic=16, synth_hw=512, synth_slices=40, seed=7, lung_dim=112) with
 same all-int8 fast112 serving arm (112² lung + refined boxes + both U-Nets
 s8×s8→s32, calibrated on real stage inputs) and on the bf16 chain:
 
-  - dice_bf16_qat     — QAT checkpoint served bf16 (sanity: QAT must not
-                        cost bf16 quality)
-  - dice_int8_qat     — QAT checkpoint served all-int8 (the fix target;
-                        plain-trained twin scored 0.914)
-  - int8-vs-bf16 delta per arm — the gate is |delta| < 0.005 (the int8
-                        promotion criterion of scripts/quality_int8.py)
+  - dice_bf16     — the PLAIN (qat=False) checkpoint served bf16
+  - dice_int8     — the PLAIN checkpoint served all-int8 (if it loses
+                    dice here while round4_qat.json's QAT checkpoint does
+                    not, the lottery is real and QAT closes it)
+  - int8-vs-bf16 delta — the gate is |delta| < 0.005 (the int8 promotion
+                    criterion of scripts/quality_int8.py)
 
 Writes artifacts_tpu/round4_qat_twin.json.
 """
@@ -64,9 +64,10 @@ def main():
         "lung_val_dice": res["lung_val_dice"],
         "infection_val_dice": res["infection_val_dice"],
         "train_plus_eval_seconds": time.time() - t0,
-        # plain-trained twin's numbers on the identical serving arms:
-        "plain_twin_bf16": 0.9408,   # round3_refined_boxes.json
-        "plain_twin_int8": 0.914,    # round3_fast112_int8_diag.json
+        # round-3 cross-round reference points on the same serving arms
+        # (superseded by this twin's same-round dice_bf16/dice_int8):
+        "round3_ref_bf16": 0.9408,   # round3_refined_boxes.json
+        "round3_ref_int8": 0.914,    # round3_fast112_int8_diag.json
     }
     print(json.dumps(out), flush=True)
 
@@ -92,12 +93,12 @@ def main():
 
     lv, sv = _vars(res["lung"]), _vars(res["infection"])
 
-    # bf16 chain (QAT checkpoint served in plain bf16)
+    # bf16 chain (plain checkpoint served bf16)
     m, b1, b2 = chained_infer(lung_model, lv, seg_model, sv, raw_u8,
                               model_hw=(d, d), threshold=0.5,
                               lung_hw=(112, 112))
     tgt = _kernel_mask(inf_u8, b1, b2, (d, d // 2)) / 255.0 > 0.5
-    out["dice_bf16_qat"] = _dice(m, tgt)
+    out["dice_bf16"] = _dice(m, tgt)
 
     # all-int8 fast112 arm, calibrated on real stage inputs
     quant = calibrate_quant(np.asarray(raw_u8), lung_model, lv, seg_model, sv,
@@ -106,8 +107,8 @@ def main():
         lung_model, quant["lung"], lv, seg_model, quant["seg"], sv, raw_u8,
         model_hw=(d, d), threshold=0.5, lung_hw=(112, 112), refine_boxes=True)
     tgt8 = _kernel_mask(inf_u8, b1q, b2q, (d, d // 2)) / 255.0 > 0.5
-    out["dice_int8_qat"] = _dice(m8, tgt8)
-    out["int8_minus_bf16"] = out["dice_int8_qat"] - out["dice_bf16_qat"]
+    out["dice_int8"] = _dice(m8, tgt8)
+    out["int8_minus_bf16"] = out["dice_int8"] - out["dice_bf16"]
     out["gate_abs_delta_lt_0.005"] = abs(out["int8_minus_bf16"]) < 0.005
 
     print(json.dumps(out, indent=2), flush=True)

@@ -2,6 +2,7 @@
 per-volume one-stop reports out, host IO pipelined against device compute.
 The reference has no serving/deployment path at all (SURVEY.md §8 Q2)."""
 
+import dataclasses
 import json
 
 import jax
@@ -82,6 +83,30 @@ def test_serve_volumes_one_stop_classifier(volumes, models):
     s = r.summary()
     json.dumps(s)                                   # JSON-serializable
     assert s["n_slices"] == r.n_slices and "infected_slices" in s
+
+
+def test_volume_report_mask_slice_classification():
+    """infected_slices_by_mask: the zero-cost mask-derived slice classifier
+    (per-slice predicted-infected fraction vs a speckle floor) is reported
+    with or without a task2 classifier — it is the signal that transfers to
+    unseen volumes (artifacts_tpu/round4_cls_mask_auc.json)."""
+    from onestop_tpu.serve import MASK_SLICE_THRESHOLD
+
+    fr = np.array([0.0, 1 / (224 * 224), 0.01, 0.2], np.float32)
+    r = VolumeReport(path="x", n_slices=4, boxes1=np.zeros((4, 4)),
+                     boxes2=np.zeros((4, 4)), infection_fraction=fr,
+                     cls_probs=None, masks=None, load_seconds=0.0,
+                     compute_seconds=0.0)
+    s = r.summary()
+    json.dumps(s)
+    assert s["infected_slices_by_mask"] == 2      # one-pixel slice rejected
+    assert s["mask_slice_threshold"] == MASK_SLICE_THRESHOLD
+    assert r.summary(mask_slice_threshold=0.05)["infected_slices_by_mask"] == 1
+    # threshold=None serving: infection_fraction is a mean PROBABILITY, so
+    # the mask-derived count would be garbage — suppressed, not emitted
+    soft = dataclasses.replace(r, thresholded=False).summary()
+    assert "infected_slices_by_mask" not in soft
+    assert "mask_slice_threshold" not in soft
 
 
 def test_serve_volumes_int8(volumes, models):
