@@ -44,7 +44,11 @@ ARMS = {"no_aug": (False, False, None), "aug_batch": ("batch", False, None),
         # 80-epoch budget under-trains it (first pass: fold variance
         # 0.737-0.978); double the budget for the aug arm
         "aug_batch_160": ("batch", False, (160, 160, 160, 160)),
-        "qat_160": (False, True, (160, 160, 160, 160))}
+        "qat_160": (False, True, (160, 160, 160, 160)),
+        # plain 160-epoch baseline: needed on replication beds (seed 13)
+        # where the 80-epoch QAT arm LOST to no_aug — distinguishes "QAT
+        # hurts here" from "everything is undertrained here"
+        "no_aug_160": (False, False, (160, 160, 160, 160))}
 
 
 def main():
