@@ -48,7 +48,13 @@ ARMS = {"no_aug": (False, False, None), "aug_batch": ("batch", False, None),
         # plain 160-epoch baseline: needed on replication beds (seed 13)
         # where the 80-epoch QAT arm LOST to no_aug — distinguishes "QAT
         # hurts here" from "everything is undertrained here"
-        "no_aug_160": (False, False, (160, 160, 160, 160))}
+        "no_aug_160": (False, False, (160, 160, 160, 160)),
+        # deployment recipe candidate: aug is the bed-robust quality
+        # ingredient (0.978 on both beds @160) and QAT is what makes the
+        # promoted int8 serving path safe (lottery removal) — a deployed
+        # int8 model wants BOTH, and their interaction at 160 epochs is
+        # unmeasured (at 80 they were non-additive)
+        "aug_batch_qat_160": ("batch", True, (160, 160, 160, 160))}
 
 
 def main():
