@@ -40,6 +40,11 @@ def main(argv=None):
                         help="train-time augmentation: per-batch on-device, or "
                              "materialize n_samples and concat (reference's "
                              "commented-out merge)")
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="('seven' only) override the chain stages' epoch "
+                             "budget — per-batch aug wants ~2x the reference "
+                             "default (the bed-robust recipe: --use-augmentation "
+                             "batch --epochs 160, RESULTS.md round-4 CV study)")
     parser.add_argument("--lung-dim", type=int, default=None,
                         help="('seven' only) train/serve the chain's stage-1 "
                              "lung U-Net at this resolution (e.g. 112 for "
@@ -75,10 +80,10 @@ def main(argv=None):
     runner = RUNNERS[token]
     print(f"Running {runner.__name__} ...")
     extra = {}
-    # the chain ('seven') trains two models with their task defaults; every
-    # other runner (incl. the CV pair) takes the aug mode
-    if args.use_augmentation and token != "seven":
+    if args.use_augmentation:
         extra["use_augmentation"] = args.use_augmentation
+    if args.epochs is not None and token == "seven":
+        extra["epochs"] = args.epochs
     if args.lung_dim is not None and token == "seven":
         extra["lung_dim"] = args.lung_dim
     if args.cls_dim is not None and token in ("five", "seven"):

@@ -768,7 +768,8 @@ def runner_lung_segmentation(
 def runner_production_chain(
     data_dir=None, out_dir=None, small_run=False, verbose=False,
     cache_dir=None, mesh=None, threshold=0.5, save_figures=True,
-    lung_dim=None, classify=False, cls_dim=None, **kw
+    lung_dim=None, classify=False, cls_dim=None, use_augmentation=False,
+    epochs=None, **kw
 ):
     """CLI menu 'seven' — the chained no-ground-truth pipeline the
     reference's menu advertises but never implements (ref ``app.py:29``
@@ -788,7 +789,13 @@ def runner_production_chain(
     (``production.one_stop_infer``): lung seg + infection seg + per-slice
     infection classification in one jit program — the three reference tasks,
     which its notebooks can only run disconnected and GT-fed, unified with
-    no ground truth at inference."""
+    no ground truth at inference.
+
+    use_augmentation/epochs: the bed-robust training recipe for the
+    deployed chain is ``use_augmentation='batch', epochs=160`` (2x the
+    reference budget — per-batch warps make every epoch a fresh draw;
+    round-4 CV study, RESULTS.md), optionally with ``qat=True`` when the
+    checkpoint will serve int8."""
     from onestop_tpu.data.ingest import _kernel_boxes, _kernel_mask, _to_u8
     from onestop_tpu.ops.pipeline import fused_infer
     from onestop_tpu.production import build_plain_lung_dataset, chained_infer
@@ -796,9 +803,17 @@ def runner_production_chain(
     task1 = C.task1_holdout()
     task3 = C.task3_lung()
     if small_run:
-        epochs = kw.pop("epochs", 3)
-        task1 = _small(task1, epochs=epochs)
-        task3 = _small(task3, epochs=epochs)
+        task1 = _small(task1, epochs=3 if epochs is None else epochs)
+        task3 = _small(task3, epochs=3 if epochs is None else epochs)
+    elif epochs is not None:
+        # deployment-recipe override: per-batch augmentation makes every
+        # epoch a fresh draw, so the bed-robust training recipe runs the
+        # chain stages at 2x the reference budget (round-4 CV study,
+        # RESULTS.md — aug@160 scores 0.978 mean-fold dice on both beds)
+        task1 = dataclasses.replace(
+            task1, train=dataclasses.replace(task1.train, epochs=epochs))
+        task3 = dataclasses.replace(
+            task3, train=dataclasses.replace(task3.train, epochs=epochs))
     qat = kw.pop("qat", False)     # QAT for every model the chain trains
     if qat:
         task1 = _pop_qat(task1, {"qat": True})
@@ -836,7 +851,8 @@ def runner_production_chain(
     lung_model = _build_unet(task3)
     lung_res = _run_holdout_segmentation(
         lung_model, task3, xl, yl, out_dir, "unet_lung_fullframe",
-        verbose=verbose, mesh=mesh, save_figures=save_figures)
+        verbose=verbose, mesh=mesh, save_figures=save_figures,
+        use_augmentation=use_augmentation)
 
     # stage-3 model: the standard task1 infection U-Net
     xi, yi = _maybe_cached(
@@ -847,7 +863,8 @@ def runner_production_chain(
     seg_model = _build_unet(task1)
     seg_res = _run_holdout_segmentation(
         seg_model, task1, xi, yi, out_dir, "unet_infection_for_chain",
-        verbose=verbose, mesh=mesh, save_figures=save_figures)
+        verbose=verbose, mesh=mesh, save_figures=save_figures,
+        use_augmentation=use_augmentation)
 
     # optional stage-3 passenger: the task2 classifier, trained on the
     # standard cropped classification dataset (the same distribution the

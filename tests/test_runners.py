@@ -123,8 +123,11 @@ def test_cli_dispatch(tmp_path, monkeypatch, capsys):
 @pytest.mark.slow
 def test_production_chain_runner(tmp_path):
     """Menu 'seven': the chained no-GT pipeline trains both stages and
-    reports the predicted-vs-GT-box dice delta."""
+    reports the predicted-vs-GT-box dice delta. Trains with the bed-robust
+    recipe's knobs (per-batch aug + explicit epoch budget) to cover their
+    plumb-through into both chain stages."""
     res = R.runner_production_chain(out_dir=tmp_path, small_run=True,
+                                    use_augmentation="batch", epochs=2,
                                     n_synthetic=3, synth_hw=128, synth_slices=10)
     assert 0 <= res["dice_chained"] <= 1
     assert 0 <= res["dice_gt_boxes"] <= 1
