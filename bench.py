@@ -80,6 +80,12 @@ def main():
                          "precision, measured dice parity with the 224 "
                          "stage — round3_refined_boxes.json 0.9408 vs "
                          "0.9405); pass 224 for the full-res stage")
+    ap.add_argument("--box-mode", choices=("ccl", "bisect"), default="ccl",
+                    help="with --chained (non-one-stop): lung box derivation "
+                         "— 'ccl' (connected components, default) or "
+                         "'bisect' (CCL-free column-valley split, "
+                         "ops.bbox.bisect_lung_components; A/B study "
+                         "scripts/verify_bisect_boxes.py)")
     ap.add_argument("--no-extras", action="store_true",
                     help="headline number only: skip the chained/int8 "
                          "companion measurements the default run appends "
@@ -90,6 +96,8 @@ def main():
                          "diagnostic line instead of silence (round-3 "
                          "lesson: BENCH_r03 recorded NOTHING, rc=124)")
     args = ap.parse_args()
+    if args.box_mode != "ccl" and args.one_stop:
+        ap.error("--box-mode bisect is not wired into the one-stop paths")
     if args.one_stop:
         args.chained = True  # one-stop IS the chained pipeline + classifier
     if args.chained:
@@ -211,6 +219,8 @@ def main():
                                jnp.zeros((1, o, o, 1)), train=False)
         lung_hw = None if args.lung_dim is None else (args.lung_dim, args.lung_dim)
         tag = "" if args.lung_dim is None else f"_lung{args.lung_dim}"
+        if args.box_mode != "ccl":
+            tag += f"_{args.box_mode}"
         cls_model = cls_vars = None
         if args.one_stop:
             # the full one-stop: the task2 classifier rides the stage-3 crop
@@ -265,8 +275,10 @@ def main():
                         masks, _, _ = chained_infer_mixed(
                             model, lung_vars, model, q_seg, variables, xc,
                             model_hw=(o, o), threshold=0.5, interpret=interpret,
-                            lung_hw=lung_hw)
+                            lung_hw=lung_hw, box_mode=args.box_mode)
                     else:
+                        assert args.box_mode == "ccl", \
+                            "--box-mode bisect needs the mixed/bf16 chain"
                         masks, _, _ = chained_infer_int8(
                             model, q_lung, lung_vars, model, q_seg, variables,
                             xc, model_hw=(o, o), threshold=0.5,
@@ -287,7 +299,8 @@ def main():
             def one_chunk(xc):
                 masks, _, _ = chained_infer(model, lung_vars, model, variables,
                                             xc, model_hw=(o, o), threshold=0.5,
-                                            interpret=interpret, lung_hw=lung_hw)
+                                            interpret=interpret, lung_hw=lung_hw,
+                                            box_mode=args.box_mode)
                 return masks
 
         @jax.jit

@@ -253,6 +253,89 @@ def refine_boxes_bilinear(
     return jax.vmap(jax.vmap(one, in_axes=(None, 0, 0)))(up, comps, coarse_boxes)
 
 
+def bisect_lung_components(mask: Array):
+    """CCL-free two-lung components for the serving chain: exploit the
+    anatomy instead of solving the general labeling problem.
+
+    The chain only ever needs the TWO lung boxes (the reference consumes
+    exactly two ``boundingRect``s, ``holdout.py:211-247``), and lungs are
+    bilateral: a near-empty column band (the mediastinum) separates the two
+    masses. So instead of the ``connected_components`` while_loop fixpoint +
+    MXU size histogram + top-k, split the mask at the column-marginal valley
+    and take per-side extents — pure reductions, no iteration:
+
+    - a 1-D marginal ``m(c) = Σ mask`` and its cumulative sum give the
+      25%/75% mass-quantile positions (inside the two lungs' bulk);
+    - the split is the centered argmin of ``m`` restricted to that band
+      (the mediastinum valley; centering the minimal plateau keeps the cut
+      away from either lung when the valley is wide);
+    - the axis is chosen per-slice: rows and columns both evaluate their
+      valley, and the axis with the *emptier* valley wins (ties → columns).
+      The ingest frame is ``rot90``'d (``ingest.load_slices``, mirroring the
+      reference's ``read_nii``), so "bilateral" can mean row- OR
+      column-separated depending on the volume's stored orientation — the
+      data decides, no orientation convention is assumed;
+    - components are the mask's two halves along the winning axis, boxes
+      their masked-iota extents, ordered largest-first to match
+      ``two_lung_components``.
+
+    Same conventions as ``_topk_boxes``: (x, y, w, h) int32 boxes, empty
+    sides fall back to the full-image box, an empty mask returns two
+    full-image boxes with size 0. Divergence from CCL (documented, gated by
+    scripts/verify_bisect_boxes.py): out-of-lung noise blobs are not
+    size-filtered (they join whichever side they fall on — the downstream
+    probability-field refinement restricts each box to its component's own
+    footprint, so a noise blob can widen a box but not shift the lung out of
+    it), and a single merged component returns its left/right halves instead
+    of the same box twice (closer to the reference's always-two-lungs crop
+    than CCL's duplicate).
+
+    Returns (boxes (2, 4) int32, sizes (2,) int32, comps (2, H, W) bool).
+    """
+    h, w = mask.shape
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def axis_valley(marg, n, other):
+        """(valley depth, centered split index) of a 1-D mass marginal,
+        restricted to the 25%-75% mass-quantile band."""
+        total = jnp.sum(marg)
+        csum = jnp.cumsum(marg)
+        idx = jnp.arange(n)
+        q1 = jnp.argmax(csum * 4 >= total)
+        q3 = jnp.argmax(csum * 4 >= 3 * total)
+        band = (idx >= q1) & (idx <= q3)
+        valley = jnp.min(jnp.where(band, marg, jnp.int32(other + 1)))
+        is_min = band & (marg == valley)
+        lo = jnp.argmax(is_min)
+        hi = n - 1 - jnp.argmax(is_min[::-1])
+        return valley, (lo + hi) // 2
+
+    v_col, s_col = axis_valley(jnp.sum(mask, axis=0).astype(jnp.int32), w, h)
+    v_row, s_row = axis_valley(jnp.sum(mask, axis=1).astype(jnp.int32), h, w)
+    use_rows = v_row < v_col                                 # emptier valley wins
+    half_a = jnp.where(use_rows, rows_i <= s_row, cols_i <= s_col)
+    comp_a = mask & half_a
+    comp_b = mask & ~half_a
+
+    def one_box(sel):
+        any_sel = jnp.any(sel)
+        big = jnp.int32(h + w)
+        y0 = jnp.min(jnp.where(sel, rows_i, big))
+        y1 = jnp.max(jnp.where(sel, rows_i, -1))
+        x0 = jnp.min(jnp.where(sel, cols_i, big))
+        x1 = jnp.max(jnp.where(sel, cols_i, -1))
+        box = jnp.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1])
+        return jnp.where(any_sel, box, jnp.array([0, 0, w, h], jnp.int32))
+
+    comps = jnp.stack([comp_a, comp_b])                      # (2, H, W)
+    boxes = jax.vmap(one_box)(comps)                         # (2, 4)
+    sizes = jnp.sum(comps, axis=(1, 2)).astype(jnp.int32)    # (2,)
+    order = jnp.where(sizes[1] > sizes[0],
+                      jnp.array([1, 0]), jnp.array([0, 1]))  # largest first
+    return boxes[order], sizes[order], comps[order]
+
+
 def two_lung_bboxes(mask: Array):
     """(x, y, w, h) boxes of the two largest components of a binary lung
     mask — the reference cropper's cnt1/cnt2 rects (``holdout.py:219-247``)."""

@@ -118,14 +118,21 @@ def lung_boxes_batch(masks01: Array) -> tuple[Array, Array]:
     return jax.vmap(one)(masks01)
 
 
-def lung_boxes_components_batch(masks01: Array):
+def lung_boxes_components_batch(masks01: Array, box_mode: str = "ccl"):
     """``lung_boxes_batch`` that also returns the two components' own masks
     (B, 2, H, W) — consumed by the probability-field box refinement
-    (``ops.bbox.refine_boxes_bilinear``)."""
-    from onestop_tpu.ops.bbox import two_lung_components
+    (``ops.bbox.refine_boxes_bilinear``).
+
+    box_mode: "ccl" (general connected-component labeling, while_loop
+    fixpoint) or "bisect" (``ops.bbox.bisect_lung_components`` — CCL-free
+    column-valley split, reduction-only; quality-gated A/B in
+    scripts/verify_bisect_boxes.py)."""
+    from onestop_tpu.ops.bbox import bisect_lung_components, two_lung_components
+
+    two = bisect_lung_components if box_mode == "bisect" else two_lung_components
 
     def one(m):
-        boxes, _, comp = two_lung_components(m > 0)
+        boxes, _, comp = two(m > 0)
         return boxes[0], boxes[1], comp
 
     return jax.vmap(one)(masks01)

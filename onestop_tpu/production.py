@@ -44,7 +44,7 @@ Array = jax.Array
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
-    "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+    "interpret", "ccl_stride", "lung_hw", "refine_boxes", "box_mode"))
 def chained_infer(
     lung_model,
     lung_variables,
@@ -58,6 +58,7 @@ def chained_infer(
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
+    box_mode: str = "ccl",
 ):
     """Full no-ground-truth chain. Returns (masks, boxes1, boxes2):
     masks (B, oh, ow, 1) — bool if ``threshold`` given, else probabilities —
@@ -89,18 +90,24 @@ def chained_infer(
     lung probability field at raw-pixel precision
     (``ops.bbox.refine_boxes_bilinear``), removing both the ``ccl_stride``
     and the ``lung_hw`` grid quantization from the crop frame for the cost
-    of one lh→raw matmul resize + masked reductions."""
+    of one lh→raw matmul resize + masked reductions.
+
+    ``box_mode``: "ccl" (general connected-component labeling) or "bisect"
+    (``ops.bbox.bisect_lung_components`` — anatomy-aware column-valley split,
+    reduction-only, no while_loop; A/B-gated by
+    scripts/verify_bisect_boxes.py)."""
     lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
     seg_apply = lambda x: seg_model.apply(
         seg_variables, x.astype(seg_model.dtype), train=False)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
-                         lung_hw, refine_boxes=refine_boxes)
+                         lung_hw, refine_boxes=refine_boxes,
+                         box_mode=box_mode)
 
 
 def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
                   threshold, interpret, ccl_stride, lung_hw, cls_apply=None,
-                  refine_boxes=True, cls_hw=None):
+                  refine_boxes=True, cls_hw=None, box_mode="ccl"):
     """The chain stages, parameterized over the model forwards so the bf16
     (``chained_infer``/``one_stop_infer``) and int8
     (``serve_int8.chained_infer_int8``/``one_stop_infer_int8``) paths share
@@ -116,7 +123,8 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
     C<128 lane ceiling, so its wall-clock scales with spatial positions, not
     FLOPs — a 112² classifier quarters the measured 18.7%/dispatch overhead
     (scripts/profile_cls_overhead.py)."""
-    from onestop_tpu.ops.pipeline import serving_preproc
+    from onestop_tpu.ops.pipeline import (lung_boxes_components_batch,
+                                          serving_preproc)
 
     b, h, w = raw_u8.shape
     lung_hw = model_hw if lung_hw is None else lung_hw
@@ -135,7 +143,6 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
             lung_masks, False, jax.lax.bitwise_or, (1, s, s), (1, s, s), "VALID")
     if refine_boxes:
         from onestop_tpu.ops.bbox import refine_boxes_bilinear
-        from onestop_tpu.ops.pipeline import lung_boxes_components_batch
 
         # re-derive every edge from the continuous probability field at raw
         # resolution: one shared (lh→H, lw→W) bilinear matmul resize + masked
@@ -143,14 +150,18 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
         # removes the lung-grid AND ccl_stride quantization from the crop
         # frame without letting out-of-top-2 regions inflate a box
         b1, b2, comps = lung_boxes_components_batch(
-            lung_masks.astype(jnp.float32))
+            lung_masks.astype(jnp.float32), box_mode=box_mode)
         coarse = jnp.stack([b1, b2], axis=1).astype(jnp.float32) * s
         refined = refine_boxes_bilinear(
             lung_probs[..., 0].astype(jnp.float32), comps, coarse,
             lung_threshold, (h, w))
         b1, b2 = refined[:, 0], refined[:, 1]
     else:
-        b1, b2 = lung_boxes_batch(lung_masks.astype(jnp.float32))
+        if box_mode == "bisect":
+            b1, b2, _ = lung_boxes_components_batch(
+                lung_masks.astype(jnp.float32), box_mode="bisect")
+        else:
+            b1, b2 = lung_boxes_batch(lung_masks.astype(jnp.float32))
         b1, b2 = b1.astype(jnp.float32), b2.astype(jnp.float32)
         if s > 1:
             # pooled cell (x, y) covers model px [x·s, x·s + s): scaling the

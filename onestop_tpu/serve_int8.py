@@ -249,7 +249,7 @@ def apply_int8_model(model, q: dict, variables, x: Array,
 
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
-    "interpret", "ccl_stride", "lung_hw", "refine_boxes"))
+    "interpret", "ccl_stride", "lung_hw", "refine_boxes", "box_mode"))
 def chained_infer_mixed(
     lung_model,
     lung_variables,
@@ -264,6 +264,7 @@ def chained_infer_mixed(
     ccl_stride: int = 2,
     lung_hw: tuple[int, int] | None = None,
     refine_boxes: bool = True,
+    box_mode: str = "ccl",
 ):
     """bf16 lung stage + int8 infection stage — the right precision split
     for the fast low-res preset. Box refinement thresholds the bilinearly
@@ -281,7 +282,8 @@ def chained_infer_mixed(
     seg_apply = lambda x: apply_int8_model(seg_model, seg_q, seg_variables, x)
     return _chain_stages(lung_apply, seg_apply, raw_u8, model_hw,
                          lung_threshold, threshold, interpret, ccl_stride,
-                         lung_hw, refine_boxes=refine_boxes)
+                         lung_hw, refine_boxes=refine_boxes,
+                         box_mode=box_mode)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -56,6 +56,62 @@ def test_box_ordering_by_size(rng):
     assert sizes[0] >= sizes[1] >= sizes[2] > 0
 
 
+def _clean_bilateral_mask(rng, h=256, w=256):
+    """Two clean ellipse lungs, NO noise blob (bisect does not size-filter)."""
+    mask = np.zeros((h, w), np.uint8)
+    cv2.ellipse(mask, (int(w * 0.3), int(h * 0.5)), (int(w * 0.15), int(h * 0.3)),
+                rng.uniform(-15, 15), 0, 360, 1, -1)
+    cv2.ellipse(mask, (int(w * 0.68), int(h * 0.52)), (int(w * 0.13), int(h * 0.28)),
+                rng.uniform(-15, 15), 0, 360, 1, -1)
+    return mask
+
+
+def test_bisect_matches_ccl_on_clean_bilateral(rng):
+    """On a clean bilateral mask the CCL-free column-valley split returns
+    exactly the CCL path's boxes, sizes, ordering, and component masks."""
+    from onestop_tpu.ops.bbox import bisect_lung_components, two_lung_components
+
+    for transpose in (False, True):   # the ingest frame is rot90'd: lungs can
+        for _ in range(3):            # separate along either axis
+            m = _clean_bilateral_mask(rng) > 0
+            if transpose:
+                m = m.T
+            m = jnp.asarray(m)
+            b_c, s_c, comp_c = two_lung_components(m)
+            b_b, s_b, comp_b = bisect_lung_components(m)
+            np.testing.assert_array_equal(np.asarray(b_b), np.asarray(b_c))
+            np.testing.assert_array_equal(np.asarray(s_b), np.asarray(s_c))
+            np.testing.assert_array_equal(np.asarray(comp_b), np.asarray(comp_c))
+
+
+def test_bisect_empty_mask_full_frame_fallback():
+    from onestop_tpu.ops.bbox import bisect_lung_components
+
+    b, s, comps = bisect_lung_components(jnp.zeros((64, 48), bool))
+    assert tuple(np.asarray(b[0])) == (0, 0, 48, 64)
+    assert tuple(np.asarray(b[1])) == (0, 0, 48, 64)
+    assert int(np.asarray(s).sum()) == 0 and not np.asarray(comps).any()
+
+
+def test_bisect_merged_component_splits_left_right():
+    """A single blob spanning the midline comes back as its two column
+    halves (union covers the blob's bbox; every pixel assigned once) —
+    the documented divergence from CCL's duplicated-largest-box."""
+    from onestop_tpu.ops.bbox import bisect_lung_components
+
+    mask = np.zeros((64, 64), bool)
+    mask[20:40, 10:54] = True
+    b, s, comps = bisect_lung_components(jnp.asarray(mask))
+    bs = np.asarray(b)
+    x0 = min(bs[0][0], bs[1][0])
+    x1 = max(bs[0][0] + bs[0][2], bs[1][0] + bs[1][2])
+    y0 = min(bs[0][1], bs[1][1])
+    y1 = max(bs[0][1] + bs[0][3], bs[1][1] + bs[1][3])
+    assert (x0, y0, x1, y1) == (10, 20, 54, 40)
+    assert int(np.asarray(s).sum()) == int(mask.sum())
+    assert not (np.asarray(comps[0]) & np.asarray(comps[1])).any()
+
+
 def test_single_component_degenerate():
     mask = np.zeros((64, 64), bool)
     mask[10:30, 12:40] = True

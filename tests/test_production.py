@@ -43,6 +43,23 @@ def test_chained_infer_shapes_boxes_and_determinism(rng):
     np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
 
 
+def test_chained_infer_bisect_box_mode(rng):
+    """box_mode='bisect' (CCL-free column-valley boxes) runs end to end with
+    valid raw-coordinate boxes, with refinement on and off."""
+    lung, vl, seg, vs = _models()
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 128, 128), dtype=np.uint8))
+    for refine in (True, False):
+        masks, b1, b2 = chained_infer(lung, vl, seg, vs, imgs,
+                                      model_hw=(64, 64), threshold=0.5,
+                                      interpret=_INTERPRET, box_mode="bisect",
+                                      refine_boxes=refine)
+        assert masks.shape == (2, 64, 64, 1)
+        for b in (np.asarray(b1), np.asarray(b2)):
+            assert (b[:, 2] > 0).all() and (b[:, 3] > 0).all()
+            assert (b[:, 0] + b[:, 2] <= 128 + 1e-3).all()
+            assert (b[:, 1] + b[:, 3] <= 128 + 1e-3).all()
+
+
 @pytest.mark.slow
 def test_chained_boxes_track_true_lungs():
     """With a lung model that returns the (resized) truth, predicted boxes
