@@ -15,7 +15,8 @@ from onestop_tpu.ops.resize import (
     to_uint8,
 )
 from onestop_tpu.ops.clahe import clahe, clahe_lut
-from onestop_tpu.ops.bbox import two_lung_bboxes, connected_components, component_bboxes
+from onestop_tpu.ops.bbox import (two_lung_bboxes, connected_components,
+                                  component_bboxes, bisect_lung_components)
 from onestop_tpu.ops.crop import fuse_lung_crops, cropper
 from onestop_tpu.ops.augment import random_augment_pair
 
@@ -30,6 +31,7 @@ __all__ = [
     "two_lung_bboxes",
     "connected_components",
     "component_bboxes",
+    "bisect_lung_components",
     "fuse_lung_crops",
     "cropper",
     "random_augment_pair",
