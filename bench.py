@@ -95,6 +95,14 @@ def main():
                          "have printed; past it the watchdog emits a "
                          "diagnostic line instead of silence (round-3 "
                          "lesson: BENCH_r03 recorded NOTHING, rc=124)")
+    ap.add_argument("--total-budget", type=float,
+                    default=float(os.environ.get("BENCH_TOTAL_BUDGET", 1500)),
+                    help="total wall-clock budget (s) for the WHOLE process "
+                         "— the extras phase launches no child that could "
+                         "outlive it and lists what it skipped, so the "
+                         "process exits 0 before any driver timeout "
+                         "(BENCH_r03/r04 both died rc=124 in extras). Env "
+                         "override: BENCH_TOTAL_BUDGET.")
     args = ap.parse_args()
     if args.box_mode != "ccl" and args.one_stop:
         ap.error("--box-mode bisect is not wired into the one-stop paths")
@@ -117,6 +125,14 @@ def main():
             args.lung_dim = None  # full-res stage 1 (== model resolution)
         if not args.int8 and not args.bf16:
             args.int8 = True
+        if args.box_mode != "ccl" and args.int8 and args.lung_dim is None:
+            # argparse-level (ADVICE r4): the pure-int8 chain has no bisect
+            # wiring — under `python -O` the traced-fn assert would be
+            # stripped and the printed metric would carry a '_bisect' tag
+            # over a CCL measurement
+            ap.error("--box-mode bisect is only wired into the bf16 and "
+                     "mixed chains; with --int8 it needs a low-res lung "
+                     "stage (e.g. --lung-dim 112)")
 
     # Watchdog, two phases (round-3 postmortem, VERDICT r3 weak #1):
     #  - backend init: a wedged TPU tunnel (CLAUDE.md "wedge mode") hangs
@@ -381,54 +397,66 @@ def main():
     # longer than the headline deadline (the already-printed headline line
     # is never at risk).
     extras = {}
+    skipped = []
     if not (args.chained or args.int8 or args.no_extras or interpret):
         import subprocess
 
         # deployment-default chain first, then the historical arms under
         # their round-3 key names (each key pins its full flag set so the
         # round-4 default promotion cannot silently change an old key's
-        # meaning). The launch budget is the SAME headline_deadline clock,
-        # counted from process start: a cold-cache headline eats into it,
-        # by design — extras are expendable, the already-printed headline
-        # and staying inside the driver's timeout are not. Arms are ordered
-        # most-important-first so whatever budget remains captures the
-        # default chain before the historical ones.
-        for name, flags in (("chained_noGT_default", ["--chained"]),
-                            ("chained_noGT", ["--chained", "--bf16",
-                                              "--lung-dim", "224"]),
-                            ("chained_noGT_int8", ["--chained", "--int8",
-                                                   "--lung-dim", "224"]),
-                            ("int8", ["--int8"]),
-                            ("chained_noGT_fast112",
-                             ["--chained", "--bf16", "--lung-dim", "112"]),
-                            ("one_stop", ["--one-stop", "--bf16",
-                                          "--lung-dim", "224"]),
-                            ("one_stop_int8", ["--one-stop", "--int8",
-                                               "--lung-dim", "224"]),
-                            ("one_stop_default", ["--one-stop"])):
-            if time.perf_counter() - _t_start > args.headline_deadline:
+        # meaning). The launch budget is --total-budget counted from process
+        # start: a cold-cache headline eats into it, by design — extras are
+        # expendable, the already-printed headline and staying inside the
+        # driver's timeout (BENCH_r03/r04: rc=124, both killed mid-extras)
+        # are not. Each child's own timeout is clamped to the REMAINING
+        # budget so no child can outlive the process deadline. Arms are
+        # ordered most-important-first so whatever budget remains captures
+        # the default chain before the historical ones; unmeasured arms are
+        # recorded under "skipped_extras".
+        arms = (("chained_noGT_default", ["--chained"]),
+                ("chained_noGT", ["--chained", "--bf16",
+                                  "--lung-dim", "224"]),
+                ("chained_noGT_int8", ["--chained", "--int8",
+                                       "--lung-dim", "224"]),
+                ("int8", ["--int8"]),
+                ("chained_noGT_fast112",
+                 ["--chained", "--bf16", "--lung-dim", "112"]),
+                ("one_stop", ["--one-stop", "--bf16",
+                              "--lung-dim", "224"]),
+                ("one_stop_int8", ["--one-stop", "--int8",
+                                   "--lung-dim", "224"]),
+                ("one_stop_default", ["--one-stop"]))
+        for i, (name, flags) in enumerate(arms):
+            remaining = args.total_budget - (time.perf_counter() - _t_start)
+            if remaining < 120.0:  # too little for any real measurement
+                skipped = [n for n, _ in arms[i:]]
                 break
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), *flags,
                      "--no-extras", "--total", str(args.total),
                      "--chunk", str(args.chunk), "--iters", str(args.iters)],
-                    capture_output=True, text=True, timeout=900)
+                    capture_output=True, text=True,
+                    timeout=min(900.0, remaining - 30.0))
                 line = json.loads(proc.stdout.strip().splitlines()[-1])
                 # a child's watchdog diagnostic is {"value": 0.0, "error":
                 # ...} with rc!=0 — that is a dropped key, not a measurement
                 if (proc.returncode == 0 and "error" not in line
                         and line.get("value", 0) > 0):
                     extras[f"{name}_slices_per_sec"] = line["value"]
+                else:
+                    skipped.append(name)
             except Exception:
-                pass
+                skipped.append(name)
         if "chained_noGT_default_slices_per_sec" in extras:
             # the round-3 key for this exact config (--chained --lung-dim
             # 112 --int8 == today's default) — aliased, not re-measured
             extras["chained_noGT_fast112_int8seg_slices_per_sec"] = \
                 extras["chained_noGT_default_slices_per_sec"]
-        if extras:
+        if extras or skipped:
             combined = {**headline, **extras}
+            if skipped:
+                combined["skipped_extras"] = skipped
             try:  # durable copy, survives any stdout-capture truncation
                 os.makedirs("artifacts_tpu", exist_ok=True)
                 with open("artifacts_tpu/bench_extras_latest.json", "w") as f:

@@ -18,9 +18,12 @@ Box-precision context: pre-refinement, a 64² stage quantizes every box
 edge to 8 raw px (512²/64) ×2 for ccl_stride — the probability-field
 refinement (ops.bbox.refine_boxes_bilinear) re-derives edges from the
 bilinearly-upsampled prob field, which is exactly the mechanism that made
-112 quality-neutral. Writes artifacts_tpu/round4_chain_ld64.json.
+112 quality-neutral. Writes artifacts_tpu/round5_chain_ld64.json (round 4
+trained the checkpoints but never recorded the gate; by default this run
+reuses them and evaluates only — --retrain repeats the training half).
 """
 
+import argparse
 import dataclasses
 import json
 import os
@@ -36,6 +39,9 @@ import jax
 import jax.numpy as jnp
 
 KW = dict(n_synthetic=16, synth_hw=512, synth_slices=40, seed=7)
+CKPT_DIR = "artifacts_tpu/r4_chain_ld64"
+LUNG_CKPT = os.path.join(CKPT_DIR, "unet_lung_fullframe_0.9721.msgpack")
+SEG_CKPT = os.path.join(CKPT_DIR, "unet_infection_for_chain_0.8772.msgpack")
 
 
 def _dice(pred, tgt):
@@ -45,30 +51,18 @@ def _dice(pred, tgt):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--retrain", action="store_true",
+                    help="retrain even if the r4 checkpoints exist")
+    args = ap.parse_args()
+
     from onestop_tpu import config as C
     from onestop_tpu import runners as R
     from onestop_tpu.data.ingest import _kernel_mask, _to_u8
     from onestop_tpu.production import chained_infer
     from onestop_tpu.runners import runner_production_chain
     from onestop_tpu.serve_int8 import chained_infer_mixed, quantize_model
-
-    t0 = time.time()
-    res = runner_production_chain(
-        out_dir="artifacts_tpu/r4_chain_ld64", lung_dim=64,
-        cache_dir="artifacts_tpu/cache_r2", **KW)
-    out = {
-        "lung_dim": 64,
-        "dice_chained": res["dice_chained"],
-        "dice_gt_boxes": res["dice_gt_boxes"],
-        "dice_delta": res["dice_delta"],
-        "lung_val_dice": res["lung_val_dice"],
-        "infection_val_dice": res["infection_val_dice"],
-        "train_plus_eval_seconds": time.time() - t0,
-        "reference_112_dice_chained": 0.9408,
-        "reference_224_dice_chained_stride2": 0.9405,
-        "speed_bench_random_weights_slices_per_s": 6359.1,
-    }
-    print(json.dumps(out), flush=True)
+    from onestop_tpu.train.checkpoint import load_model_variables
 
     task1 = C.task1_holdout()
     d = task1.preprocess.new_dim
@@ -79,11 +73,46 @@ def main():
     lung_model = R._build_unet(t3)
     seg_model = R._build_unet(task1)
 
-    def _vars(r):
-        st = r["state"]
-        return {"params": st.params, "batch_stats": st.batch_stats}
+    reuse = (not args.retrain and os.path.exists(LUNG_CKPT)
+             and os.path.exists(SEG_CKPT))
+    out = {
+        "lung_dim": 64,
+        "reference_112_dice_chained": 0.9408,
+        "reference_224_dice_chained_stride2": 0.9405,
+        "speed_bench_random_weights_slices_per_s": 6359.1,
+    }
+    if reuse:
+        # Training half already ran in round 4 (r4_chain_ld64 checkpoints +
+        # production_chain_report.json: chained dice 0.9405); this run is the
+        # gate evaluation the round never recorded.
+        rep = json.load(open(os.path.join(CKPT_DIR,
+                                          "production_chain_report.json")))
+        out.update({k: rep[k] for k in (
+            "dice_chained", "dice_gt_boxes", "dice_delta",
+            "lung_val_dice", "infection_val_dice")})
+        out["reused_r4_checkpoints"] = True
+        lv = load_model_variables(lung_model, LUNG_CKPT, (64, 64))
+        sv = load_model_variables(seg_model, SEG_CKPT, (d, d))
+    else:
+        t0 = time.time()
+        res = runner_production_chain(
+            out_dir=CKPT_DIR, lung_dim=64,
+            cache_dir="artifacts_tpu/cache_r2", **KW)
+        out.update({
+            "dice_chained": res["dice_chained"],
+            "dice_gt_boxes": res["dice_gt_boxes"],
+            "dice_delta": res["dice_delta"],
+            "lung_val_dice": res["lung_val_dice"],
+            "infection_val_dice": res["infection_val_dice"],
+            "train_plus_eval_seconds": time.time() - t0,
+        })
 
-    lv, sv = _vars(res["lung"]), _vars(res["infection"])
+        def _vars(r):
+            st = r["state"]
+            return {"params": st.params, "batch_stats": st.batch_stats}
+
+        lv, sv = _vars(res["lung"]), _vars(res["infection"])
+    print(json.dumps(out), flush=True)
     rng = np.random.default_rng(0)
     x_cal = jnp.asarray(rng.random((8, d, d, 1)), jnp.float32)
     q_seg = quantize_model(seg_model, sv, x_cal)
@@ -120,9 +149,9 @@ def main():
         print(f"{name}: {t*1e3:7.1f} ms/{b_}  {b_/t:6.0f} slices/s", flush=True)
 
     os.makedirs("artifacts_tpu", exist_ok=True)
-    with open("artifacts_tpu/round4_chain_ld64.json", "w") as f:
+    with open("artifacts_tpu/round5_chain_ld64.json", "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote artifacts_tpu/round4_chain_ld64.json")
+    print("wrote artifacts_tpu/round5_chain_ld64.json")
 
 
 if __name__ == "__main__":
