@@ -75,11 +75,12 @@ def main():
                          "at it (runner --cls-dim)")
     ap.add_argument("--lung-dim", type=int, default=None,
                     help="with --chained: stage-1 lung resolution. Default "
-                         "112 (the promoted fast preset: probability-field "
+                         "64 (the round-5 promoted preset: probability-field "
                          "box refinement keeps the crop frame at raw "
-                         "precision, measured dice parity with the 224 "
-                         "stage — round3_refined_boxes.json 0.9408 vs "
-                         "0.9405); pass 224 for the full-res stage")
+                         "precision, measured dice parity with the 112/224 "
+                         "stages — round5_chain_ld64.json 0.9405 vs 0.9408/"
+                         "0.9405); pass 112 for the round-4 preset or 224 "
+                         "for the full-res stage")
     ap.add_argument("--box-mode", choices=("ccl", "bisect"), default="ccl",
                     help="with --chained (non-one-stop): lung box derivation "
                          "— 'ccl' (connected components, default) or "
@@ -109,18 +110,21 @@ def main():
     if args.one_stop:
         args.chained = True  # one-stop IS the chained pipeline + classifier
     if args.chained:
-        # ROUND-4 DEFAULT PROMOTION (VERDICT r3 item 4): the no-GT chain
-        # defaults to the measured-quality fast deployment config — 112²
-        # lung stage + probability-field box refinement (dice parity with
-        # the 224 stage, round3_refined_boxes.json) + the mixed precision
-        # split (bf16 lung + int8 infection U-Net: chained dice 0.9470 vs
-        # bf16's 0.9459 on the gate-passing checkpoint,
-        # round3_fast112_int8_diag.json; int8 sensitivity is per-checkpoint
-        # — gate the checkpoint you deploy with scripts/quality_int8.py, or
-        # train with --qat to remove the lottery). --bf16 and/or
-        # --lung-dim 224 restore the previous arms.
+        # ROUND-5 DEFAULT PROMOTION (VERDICT r4 item 1): the no-GT chain
+        # defaults to the 64² lung stage + probability-field box refinement
+        # + the mixed precision split (bf16 lung + int8 infection U-Net).
+        # Gate evidence (round5_chain_ld64.json, trained checkpoints): bf16
+        # chained dice 0.9405 — EQUAL to the 112 (0.9408) and 224 (0.9405)
+        # arms — refinement removes the coarser grid's quantization exactly
+        # as it did for 112. The mixed arm's −0.0073 on the plain checkpoint
+        # is the same infection U-Net's known per-checkpoint int8 lottery
+        # (identical delta on its ld112 twin, round4_bisect_boxes.json);
+        # stage-1 stays bf16 so boxes are bit-identical to the bf16 chain —
+        # gate the checkpoint you deploy with scripts/quality_int8.py, or
+        # train with --qat to remove the lottery. --bf16 and/or
+        # --lung-dim 112/224 restore the previous arms.
         if args.lung_dim is None:
-            args.lung_dim = 112
+            args.lung_dim = 64
         if args.lung_dim >= args.out_hw:
             args.lung_dim = None  # full-res stage 1 (== model resolution)
         if not args.int8 and not args.bf16:
@@ -414,6 +418,8 @@ def main():
         # the default chain before the historical ones; unmeasured arms are
         # recorded under "skipped_extras".
         arms = (("chained_noGT_default", ["--chained"]),
+                ("chained_noGT_fast112_int8seg",
+                 ["--chained", "--int8", "--lung-dim", "112"]),
                 ("chained_noGT", ["--chained", "--bf16",
                                   "--lung-dim", "224"]),
                 ("chained_noGT_int8", ["--chained", "--int8",
@@ -449,9 +455,10 @@ def main():
             except Exception:
                 skipped.append(name)
         if "chained_noGT_default_slices_per_sec" in extras:
-            # the round-3 key for this exact config (--chained --lung-dim
-            # 112 --int8 == today's default) — aliased, not re-measured
-            extras["chained_noGT_fast112_int8seg_slices_per_sec"] = \
+            # a stable name pinning today's default's exact config
+            # (--chained --lung-dim 64 --int8) — aliased, not re-measured;
+            # the round-3/4 fast112 key is its own explicit arm above
+            extras["chained_noGT_fast64_int8seg_slices_per_sec"] = \
                 extras["chained_noGT_default_slices_per_sec"]
         if extras or skipped:
             combined = {**headline, **extras}

@@ -55,6 +55,12 @@ def main(argv=None):
                              "this input resolution (e.g. 112 — its lane-"
                              "bound convs make overhead scale with positions, "
                              "not FLOPs; see profile_cls_overhead)")
+    parser.add_argument("--cls-head", default=None,
+                        choices=("flatten", "gap"),
+                        help="('five'/'seven') classifier head: 'flatten' "
+                             "(reference topology, default) or 'gap' "
+                             "(global-avg-pool transfer variant — "
+                             "scripts/quality_cls_gap.py)")
     parser.add_argument("--classify", action="store_true",
                         help="('seven' only) also train the task2 classifier "
                              "and serve the full one-stop chain (lung seg + "
@@ -88,6 +94,8 @@ def main(argv=None):
         extra["lung_dim"] = args.lung_dim
     if args.cls_dim is not None and token in ("five", "seven"):
         extra["cls_dim"] = args.cls_dim
+    if args.cls_head is not None and token in ("five", "seven"):
+        extra["cls_head"] = args.cls_head
     if args.classify and token == "seven":
         extra["classify"] = True
     if args.qat:

@@ -65,6 +65,9 @@ class ModelConfig:
     cls_widths: Tuple[int, ...] = (16, 32, 64)
     cls_dense: int = 32
     cls_dropout: float = 0.4
+    cls_head: str = "flatten"          # 'gap' = global-avg-pool head (opt-in
+                                       # transfer probe, VERDICT r4 item 4;
+                                       # 'flatten' is the reference topology)
     # numerics
     compute_dtype: str = "float32"     # "bfloat16" for TPU hot path
     bn_momentum: float = 0.99          # Keras BatchNormalization default

@@ -2,7 +2,15 @@
 3 stages of [Conv3×3 relu he_normal → BN] ×2 → MaxPool at 16/32/64 filters,
 then Flatten → Dense 32 relu → Dropout .4 → Dense 1 sigmoid.
 1,678,385 total params at (224, 224, 1) — asserted in tests (task2 notebook
-cell 73)."""
+cell 73).
+
+``head='gap'`` (opt-in; default keeps the reference topology untouched)
+replaces Flatten with global average pooling: the flatten head's fc0 holds
+~1.6 M of the 1.68 M params (28×28×64 → 32) and memorizes per-position
+patterns, the suspected transfer ceiling of the round-3/4 studies (held-out
+pooled AUC ≤0.739 with saturated sigmoids, round4_cls_transfer.json) — GAP
+makes the features position-invariant and cuts the head to 64×32. Probed by
+scripts/quality_cls_gap.py (VERDICT r4 item 4)."""
 
 from __future__ import annotations
 
@@ -24,6 +32,7 @@ class ClassifierCNN(nn.Module):
     bn_momentum: float = 0.99   # Keras BatchNormalization defaults
     bn_epsilon: float = 1e-3
     s2d_stem: bool = False  # space-to-depth first conv (see models/unet.py)
+    head: str = "flatten"   # 'flatten' (reference) | 'gap' (global avg pool)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -40,7 +49,12 @@ class ClassifierCNN(nn.Module):
                 x = batch_norm(train, self.dtype, name=f"s{i}_bn{j}", axis_name=self.bn_axis,
                                momentum=self.bn_momentum, epsilon=self.bn_epsilon)(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = x.reshape(x.shape[0], -1)
+        if self.head == "gap":
+            # position-invariant head: (B, h, w, C) -> (B, C); also makes
+            # the Dense stack resolution-independent (any cls_hw serves)
+            x = x.mean(axis=(1, 2))
+        else:
+            x = x.reshape(x.shape[0], -1)
         x = nn.relu(nn.Dense(self.dense, kernel_init=glorot_uniform(),
                              dtype=self.dtype, name="fc0")(x))
         x = nn.Dropout(self.dropout, deterministic=not train, name="fc_drop")(x)

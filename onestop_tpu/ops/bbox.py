@@ -288,7 +288,13 @@ def bisect_lung_components(mask: Array):
     footprint, so a noise blob can widen a box but not shift the lung out of
     it), and a single merged component returns its left/right halves instead
     of the same box twice (closer to the reference's always-two-lungs crop
-    than CCL's duplicate).
+    than CCL's duplicate). Also documented (ADVICE r4): the 25%-75%
+    mass-quantile band assumes roughly BALANCED lung masses — if one lung
+    holds >75% of the mask's mass, the band lies entirely inside the larger
+    lung, so the valley search cuts through it and the smaller lung merges
+    into one half. Strongly asymmetric masks (severe unilateral collapse /
+    resection) should stay on the default ``box_mode="ccl"``, which labels
+    components without any balance assumption.
 
     Returns (boxes (2, 4) int32, sizes (2,) int32, comps (2, H, W) bool).
     """

@@ -118,7 +118,7 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
     gains a per-slice infection probability.
 
     cls_hw: optional lower classifier resolution — the stage-3 crop is
-    area-resized once for the classifier (whose Flatten→Dense head must have
+    linear-resized once for the classifier (whose Flatten→Dense head must have
     been trained at cls_hw). The classifier's 16/32-channel convs sit at the
     C<128 lane ceiling, so its wall-clock scales with spatial positions, not
     FLOPs — a 112² classifier quarters the measured 18.7%/dispatch overhead
@@ -185,7 +185,14 @@ def _chain_stages(lung_apply, seg_apply, raw_u8, model_hw, lung_threshold,
         return masks, b1, b2
     x_cls = x
     if cls_hw is not None and tuple(cls_hw) != tuple(model_hw):
-        x_cls = resize2d(x[..., 0], cls_hw, "area")[..., None]
+        # LINEAR, matching the interpolation family the classifier's
+        # training data is built with (ingest._resize_batch_linear downscales
+        # the crop frame to new_dim) — 'area' here added an
+        # interpolation-family train/serve skew on top of the inherent
+        # crop-frame one (ADVICE r4); the remaining skew (training resizes
+        # from the ~(250,125) crop frame, serving from the model_hw crop) is
+        # measured benign in scripts/measure_serve_train_skew.py
+        x_cls = resize2d(x[..., 0], cls_hw, "linear")[..., None]
     cls_probs = cls_apply(x_cls)[:, 0]                           # (B,) f32
     return masks, cls_probs, b1, b2
 
@@ -232,7 +239,7 @@ def one_stop_infer(
     The classifier's Flatten→Dense head pins its input to the resolution it
     was trained at — ``model_hw`` must match (224² for the reference
     topology), or pass ``cls_hw`` to serve a classifier trained at a lower
-    resolution on one extra area-resize of the same crop (the measured
+    resolution on one extra linear resize of the same crop (the measured
     overhead reduction — see ``_chain_stages``)."""
     lung_apply = lambda x: lung_model.apply(lung_variables, x, train=False)
     seg_apply = lambda x: seg_model.apply(

@@ -94,6 +94,14 @@ def _case_slice_triples(data_dir=None, cfg=None, n_synthetic=4, synth_hw=160,
                 yield (ct, lung)
 
 
+INT8_GATE_NOTE = (
+    "checkpoint trained WITHOUT qat: int8 serving quality is a "
+    "per-checkpoint lottery (round-4 same-law A/B: the plain twin loses "
+    "0.025 chained dice under int8, the QAT twin none — "
+    "artifacts_tpu/round4_qat*.json). Before serving it --int8/mixed, gate "
+    "it with scripts/quality_int8.py, or retrain with --qat.")
+
+
 def _small(task_cfg: C.TaskConfig, epochs: int) -> C.TaskConfig:
     """Shrink a task config for smoke runs."""
     return dataclasses.replace(
@@ -319,7 +327,8 @@ def _run_holdout_segmentation(model, task_cfg: C.TaskConfig, x, y, out_dir,
     ckpt = out_dir / metric_stamped_name(name, best_dice_val or val_dice)
     save_checkpoint(ckpt, state.params, state.batch_stats,
                     {"val_dice": val_dice, "val_loss": val_loss,
-                     "best_threshold": report["best_threshold"]})
+                     "best_threshold": report["best_threshold"],
+                     "qat": task_cfg.train.qat})
     results = {
         "name": name,
         "val_dice": val_dice, "val_loss": val_loss,
@@ -443,7 +452,9 @@ def _run_cv_segmentation(task_cfg: C.TaskConfig, x, y, out_dir, name, mesh=None,
         for k in tables:
             tables[k][:, f] = res[k]
         ckpt = out_dir / f"{name}_fold{f + 1}.msgpack"
-        save_checkpoint(ckpt, params, bstats, {"fold": f, "val_dice": best[f]["value"]})
+        save_checkpoint(ckpt, params, bstats,
+                        {"fold": f, "val_dice": best[f]["value"],
+                         "qat": task_cfg.train.qat})
         fold_summaries.append({
             "fold": f + 1, "best_val_dice_during_training": best[f]["value"],
             "best_sweep_dice": float(res["dice"].max()),
@@ -618,7 +629,7 @@ def holdout_runner_unetplusplus_infection_segmentation(
 def runner_classification(
     data=None, data_dir=None, out_dir=None, small_run=False, verbose=False,
     use_augmentation=False, cache_dir=None, mesh=None, save_figures=True,
-    cls_dim=None, **kw
+    cls_dim=None, cls_head=None, **kw
 ):
     """Task2 COVID-19 slice classification (ref task2_covid19_classifcation.py:6):
     stratified 70/30 split, balanced class weights, AUC tracking (RocCallback
@@ -634,15 +645,28 @@ def runner_classification(
     reference's 224 (preprocess + Flatten head move together). The serving
     motivation: the classifier's C<128-lane convs are position-bound, so a
     112² classifier quarters its measured one-stop overhead
-    (production.one_stop_infer(cls_hw=...))."""
+    (production.one_stop_infer(cls_hw=...)).
+
+    cls_head: 'gap' replaces the reference's Flatten head with global
+    average pooling (opt-in transfer probe — the 1.6 M-param flatten fc0
+    memorizes per-position patterns; VERDICT r4 item 4, study
+    scripts/quality_cls_gap.py). Default keeps the reference topology."""
     task_cfg = C.task2_classification()
+    if small_run:
+        task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 4))
     if cls_dim is not None:
+        # applied AFTER _small so smoke runs still honor the requested
+        # resolution — the Flatten head pins the input size, so silently
+        # training at _small's 64 while serving cls_hw=cls_dim would be a
+        # shape mismatch (VERDICT r4 weak #6)
         task_cfg = dataclasses.replace(
             task_cfg,
             preprocess=dataclasses.replace(task_cfg.preprocess, new_dim=cls_dim),
             model=dataclasses.replace(task_cfg.model, in_size=cls_dim))
-    if small_run:
-        task_cfg = _small(task_cfg, epochs=kw.pop("epochs", 4))
+    if cls_head is not None:
+        task_cfg = dataclasses.replace(
+            task_cfg, model=dataclasses.replace(task_cfg.model,
+                                                cls_head=cls_head))
     task_cfg = _pop_qat(task_cfg, kw)
     out_path = _out(out_dir)
     if data is None:
@@ -676,7 +700,7 @@ def runner_classification(
     model = ClassifierCNN(widths=tuple(m.cls_widths), dense=m.cls_dense,
                           dropout=m.cls_dropout, dtype=jnp.dtype(m.compute_dtype),
                           bn_momentum=m.bn_momentum, bn_epsilon=m.bn_epsilon,
-                          s2d_stem=True)
+                          s2d_stem=True, head=m.cls_head)
     trainer = Trainer(model, task_cfg.train, seg_metrics=False,
                       augment_cfg=task_cfg.augment if per_batch else None,
                       augment_images_only=True, mesh=mesh)
@@ -702,7 +726,8 @@ def runner_classification(
     fpr, tpr, _ = roc_curve_points(y_val.ravel(), probs)
 
     ckpt = out_path / metric_stamped_name("covid_classifier", report["auc"], "auc")
-    save_checkpoint(ckpt, state.params, state.batch_stats, {"auc": report["auc"]})
+    save_checkpoint(ckpt, state.params, state.batch_stats,
+                    {"auc": report["auc"], "qat": task_cfg.train.qat})
     results = {
         "name": "covid_classification", "auc": report["auc"],
         "report": report["at_threshold"],
@@ -768,8 +793,8 @@ def runner_lung_segmentation(
 def runner_production_chain(
     data_dir=None, out_dir=None, small_run=False, verbose=False,
     cache_dir=None, mesh=None, threshold=0.5, save_figures=True,
-    lung_dim=None, classify=False, cls_dim=None, use_augmentation=False,
-    epochs=None, **kw
+    lung_dim=None, classify=False, cls_dim=None, cls_head=None,
+    use_augmentation=False, epochs=None, **kw
 ):
     """CLI menu 'seven' — the chained no-ground-truth pipeline the
     reference's menu advertises but never implements (ref ``app.py:29``
@@ -872,16 +897,19 @@ def runner_production_chain(
     cls_res = cls_model = None
     if classify:
         task2 = C.task2_classification()
+        if small_run:
+            task2 = _small(task2, epochs=task1.train.epochs)
         if cls_dim is not None:
             # low-res serving classifier (one_stop_infer cls_hw): trained on
             # the same crops at cls_dim; at serving the stage-3 crop is
-            # area-resized once for it (profile: scripts/profile_cls_overhead.py)
+            # linear-resized once for it (profile: scripts/profile_cls_overhead.py).
+            # Applied AFTER _small so --small-run --cls-dim smoke runs train
+            # AND serve at cls_dim instead of silently dropping the flag
+            # (VERDICT r4 weak #6).
             task2 = dataclasses.replace(
                 task2,
                 preprocess=dataclasses.replace(task2.preprocess, new_dim=cls_dim),
                 model=dataclasses.replace(task2.model, in_size=cls_dim))
-        if small_run:
-            task2 = _small(task2, epochs=task1.train.epochs)
         x_cls, y_cls = _maybe_cached(
             lambda: build_classification_dataset(train_triples, task2.preprocess),
             cache_dir, "chain_task2", task2.preprocess,
@@ -892,12 +920,13 @@ def runner_production_chain(
         cls_res = runner_classification(
             data=(x_cls, y_cls), out_dir=out_dir, small_run=small_run,
             verbose=verbose, mesh=mesh, save_figures=save_figures,
-            cls_dim=cls_dim, **cls_kw)
+            cls_dim=cls_dim, cls_head=cls_head, **cls_kw)
         m2 = task2.model
         cls_model = ClassifierCNN(
             widths=tuple(m2.cls_widths), dense=m2.cls_dense,
             dropout=m2.cls_dropout, dtype=jnp.dtype(m2.compute_dtype),
-            bn_momentum=m2.bn_momentum, bn_epsilon=m2.bn_epsilon)
+            bn_momentum=m2.bn_momentum, bn_epsilon=m2.bn_epsilon,
+            head=cls_head or m2.cls_head)
 
     def _vars(res):
         st = res["state"]
@@ -941,10 +970,16 @@ def runner_production_chain(
         "n_eval_slices": int(keep.sum()),
         "threshold": threshold,
     }
+    if not qat:
+        # the produced checkpoints are the chain's deployment artifacts —
+        # remind the operator of the per-checkpoint int8 gate before they
+        # reach the --int8/mixed serving paths (VERDICT r4 item 7)
+        results["int8_serving_note"] = INT8_GATE_NOTE
+        print(f"NOTE: {INT8_GATE_NOTE}")
     if classify:
         from onestop_tpu.production import one_stop_infer
 
-        cd = cls_dim if cls_dim is not None and not small_run else None
+        cd = cls_dim
         masks_os, cls_probs, _, _ = one_stop_infer(
             lung_model, _vars(lung_res), seg_model, _vars(seg_res),
             cls_model, _vars(cls_res), raw_u8,

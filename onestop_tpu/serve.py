@@ -363,7 +363,9 @@ def calibrate_quant(
     if cls_model is not None:
         x_cls = x_seg
         if cls_hw is not None and tuple(cls_hw) != tuple(model_hw):
-            x_cls = resize2d(x_seg[..., 0], cls_hw, "area")[..., None]
+            # linear, matching _chain_stages' serving resize (which matches
+            # the classifier's linear-resized training data)
+            x_cls = resize2d(x_seg[..., 0], cls_hw, "linear")[..., None]
         quant["cls"] = quantize_model(cls_model, cls_variables, x_cls)
     return quant
 
@@ -408,6 +410,10 @@ def main(argv=None):
                         "chain overhead — profile_cls_overhead)")
     p.add_argument("--lung-dim", type=int, default=None,
                    help="stage-1 lung resolution (checkpoint must be trained at it)")
+    p.add_argument("--cls-head", choices=("flatten", "gap"), default="flatten",
+                   help="classifier head matching the checkpoint: 'flatten' "
+                        "(reference topology) or 'gap' (global-avg-pool "
+                        "transfer variant, runner --cls-head gap)")
     p.add_argument("--int8", action="store_true",
                    help="serve all models int8 (calibrated on the first volume)")
     p.add_argument("--block", type=int, default=64)
@@ -447,7 +453,8 @@ def main(argv=None):
                                   dense=mc.cls_dense,
                                   bn_momentum=mc.bn_momentum,
                                   bn_epsilon=mc.bn_epsilon,
-                                  dtype=jnp.bfloat16)
+                                  dtype=jnp.bfloat16,
+                                  head=args.cls_head)
         cd = args.cls_dim or d
         cls_vars = _load_vars(cls_model, args.cls, (cd, cd))
 
@@ -472,6 +479,30 @@ def main(argv=None):
               interpret=args.interpret)
     quant = None
     if args.int8:
+        # per-checkpoint int8 gate reminder (VERDICT r4 item 7): checkpoints
+        # record whether they trained QAT in their sidecar JSON; a plain
+        # checkpoint served int8 is a quality lottery (round4_qat*.json:
+        # plain twin −0.025 chained dice, QAT twin ±0.001)
+        import json as _mjson
+        import sys as _sys
+        from pathlib import Path as _Path
+
+        for _name, _ckpt in (("--seg", args.seg), ("--cls", args.cls)):
+            if not _ckpt:
+                continue
+            _side = _Path(str(_ckpt) + ".json")
+            _qat = False
+            if _side.exists():
+                try:
+                    _qat = bool(_mjson.loads(_side.read_text()).get("qat"))
+                except (ValueError, OSError):
+                    pass
+            if not _qat:
+                print(f"WARNING: {_name} checkpoint {_ckpt} was not "
+                      "QAT-trained (or predates the 'qat' sidecar field) — "
+                      "int8 quality is per-checkpoint; gate it with "
+                      "scripts/quality_int8.py or retrain with --qat",
+                      file=_sys.stderr)
         first, _ = _prepare_volume(paths[0], task1.preprocess.img_size,
                                    task1.preprocess.slice_lo,
                                    task1.preprocess.slice_hi)

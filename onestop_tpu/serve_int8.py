@@ -286,6 +286,37 @@ def chained_infer_mixed(
                          box_mode=box_mode)
 
 
+def chained_infer_mixed_sharded(
+    mesh,
+    lung_model,
+    lung_variables,
+    seg_model,
+    seg_q: dict,
+    seg_variables,
+    raw_u8: Array,
+    axis: str = "data",
+    **kw,
+):
+    """Data-parallel ``chained_infer_mixed`` over a device mesh — the
+    PROMOTED deployment config (bf16 low-res lung stage + probability-field
+    box refinement + int8 infection U-Net) sharded exactly like
+    ``production.chained_infer_sharded``: the slice batch shards over
+    ``axis`` via shard_map (GSPMD cannot partition the Pallas CLAHE), the
+    bf16 weights and int8 kernel/scale tables replicate, and no collectives
+    appear (serving is embarrassingly data-parallel). The batch must divide
+    the axis size."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(x):
+        return chained_infer_mixed(lung_model, lung_variables, seg_model,
+                                   seg_q, seg_variables, x, **kw)
+
+    return shard_map(fn, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=(P(axis), P(axis), P(axis)),
+                     check_vma=False)(raw_u8)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "lung_model", "seg_model", "model_hw", "lung_threshold", "threshold",
     "interpret", "ccl_stride", "lung_hw", "refine_boxes"))

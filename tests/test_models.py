@@ -78,6 +78,25 @@ def test_classifier_output_shape():
     assert y.shape == (3, 1)
 
 
+def test_classifier_gap_head():
+    """head='gap' (opt-in, VERDICT r4 item 4): the flatten head's
+    position-memorizing fc0 is replaced by global average pooling — fc0
+    fan-in becomes widths[-1] (resolution-independent), the default topology
+    stays the reference's exact 1,678,385 params."""
+    model = ClassifierCNN(head="gap")
+    variables = _init(model, hw=64)
+    assert variables["params"]["fc0"]["kernel"].shape[0] == 64  # widths[-1]
+    y = model.apply(variables, jnp.zeros((3, 64, 64, 1), jnp.float32),
+                    train=False)
+    assert y.shape == (3, 1)
+    assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+    # GAP makes the dense stack resolution-independent: the same variables
+    # serve any input size (the flatten head would shape-mismatch)
+    y2 = model.apply(variables, jnp.zeros((2, 32, 32, 1), jnp.float32),
+                     train=False)
+    assert y2.shape == (2, 1)
+
+
 def test_eval_mode_deterministic():
     model = UNet()
     variables = _init(model)

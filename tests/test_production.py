@@ -119,6 +119,36 @@ def test_chained_boxes_track_true_lungs():
         assert (co_end - ex_end <= 1 * scale + 1e-3).all()
 
 
+def test_fast_smoke_mixed_and_one_stop_serving(rng):
+    """Fast-tier smoke for the int8-mixed and one-stop serving families
+    (ADVICE r4: the slow marks had pushed EVERY serving-path test out of the
+    default CI tier). Tiny shapes, interpret-mode Pallas: chained_infer_mixed
+    is the promoted deployment split (bf16 low-res lung stage + int8
+    infection U-Net), one_stop_infer the classifier-bearing chain."""
+    from onestop_tpu.models import ClassifierCNN
+    from onestop_tpu.production import one_stop_infer
+    from onestop_tpu.serve_int8 import chained_infer_mixed, quantize_model
+
+    lung, vl, seg, vs = _models(hw=32)
+    imgs = jnp.asarray(rng.integers(0, 256, (2, 64, 64), dtype=np.uint8))
+    q = quantize_model(seg, vs,
+                       jnp.asarray(rng.random((2, 32, 32, 1)), jnp.float32))
+    masks, b1, b2 = chained_infer_mixed(lung, vl, seg, q, vs, imgs,
+                                        model_hw=(32, 32), lung_hw=(16, 16),
+                                        threshold=0.5, interpret=_INTERPRET)
+    assert masks.shape == (2, 32, 32, 1) and masks.dtype == jnp.bool_
+    assert np.isfinite(np.asarray(b1)).all() and np.isfinite(np.asarray(b2)).all()
+
+    cls = ClassifierCNN(widths=(4, 8), dense=8)
+    vc = cls.init({"params": jax.random.PRNGKey(2)},
+                  jnp.zeros((1, 32, 32, 1)), train=False)
+    m2, probs, _, _ = one_stop_infer(lung, vl, seg, vs, cls, vc, imgs,
+                                     model_hw=(32, 32), threshold=0.5,
+                                     interpret=_INTERPRET)
+    assert m2.shape == (2, 32, 32, 1) and probs.shape == (2,)
+    assert np.isfinite(np.asarray(probs)).all()
+
+
 def test_serving_preproc_pre_enhanced_skips_clahe(rng):
     """fused_infer(pre_enhanced=True) on already-CLAHE'd pixels must equal
     the plain path on raw pixels — the chained pipeline enhances once and
