@@ -370,6 +370,25 @@ def calibrate_quant(
     return quant
 
 
+def checkpoint_is_qat(ckpt_path) -> bool:
+    """True iff the checkpoint's sidecar JSON records ``qat: true`` — i.e.
+    it was trained with fake-quantized convs and is int8-robust by
+    construction (train/qat.py). Plain checkpoints served int8 carry the
+    per-checkpoint quality lottery (round4_qat*.json: the identically
+    trained plain twin loses 0.025 chained dice under int8, the QAT twin
+    none); the CLI warns on them before quantized serving."""
+    import json as _json
+    from pathlib import Path
+
+    side = Path(str(ckpt_path) + ".json")
+    if not side.exists():
+        return False
+    try:
+        return bool(_json.loads(side.read_text()).get("qat"))
+    except (ValueError, OSError):
+        return False
+
+
 def _load_vars(model, path, in_hw):
     # canonical implementation lives with the checkpoint format; kept as an
     # alias because the study scripts import it from here
@@ -483,21 +502,10 @@ def main(argv=None):
         # record whether they trained QAT in their sidecar JSON; a plain
         # checkpoint served int8 is a quality lottery (round4_qat*.json:
         # plain twin −0.025 chained dice, QAT twin ±0.001)
-        import json as _mjson
         import sys as _sys
-        from pathlib import Path as _Path
 
         for _name, _ckpt in (("--seg", args.seg), ("--cls", args.cls)):
-            if not _ckpt:
-                continue
-            _side = _Path(str(_ckpt) + ".json")
-            _qat = False
-            if _side.exists():
-                try:
-                    _qat = bool(_mjson.loads(_side.read_text()).get("qat"))
-                except (ValueError, OSError):
-                    pass
-            if not _qat:
+            if _ckpt and not checkpoint_is_qat(_ckpt):
                 print(f"WARNING: {_name} checkpoint {_ckpt} was not "
                       "QAT-trained (or predates the 'qat' sidecar field) — "
                       "int8 quality is per-checkpoint; gate it with "

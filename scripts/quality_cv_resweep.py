@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--n-folds", type=int, default=4)
     ap.add_argument("--grid", nargs=3, type=float, default=(0.05, 1.0, 0.01),
                     metavar=("LO", "HI", "STEP"))
+    ap.add_argument("--base", default=None,
+                    help="checkpoint dir root (default "
+                         "artifacts_tpu/r4_cv_aug{_seedN}; e.g. "
+                         "artifacts_tpu/r5_cv3_aug for the round-5 3-fold "
+                         "runs — pair with --n-folds 3)")
+    ap.add_argument("--out-tag", default=None,
+                    help="output filename tag (default round4_cv_resweep"
+                         "{_seedN}; use e.g. round5_cv3_resweep)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -54,7 +62,7 @@ def main():
     tag = "" if args.seed == 7 else f"_seed{args.seed}"
     cache = "artifacts_tpu/cache_r2" if args.seed == 7 \
         else f"artifacts_tpu/cache_cv_seed{args.seed}"
-    base = f"artifacts_tpu/r4_cv_aug{tag}"
+    base = args.base + tag if args.base else f"artifacts_tpu/r4_cv_aug{tag}"
     name = f"unet_covid_{args.n_folds}fold"
 
     task_cfg = C.task1_4fold() if args.n_folds == 4 else C.task1_3fold()
@@ -66,7 +74,8 @@ def main():
     ref_mask = ths <= REF_GRID_MAX + 1e-6
     bs = task_cfg.sweep.eval_batch_size
 
-    path = f"artifacts_tpu/round4_cv_resweep{tag}.json"
+    path = (f"artifacts_tpu/{args.out_tag}{tag}.json" if args.out_tag
+            else f"artifacts_tpu/round4_cv_resweep{tag}.json")
     out = {"grid": [float(v) for v in args.grid]}
     if os.path.exists(path):
         with open(path) as f:

@@ -158,6 +158,27 @@ def test_serve_volumes_validates_quant_eagerly(models):
                       quant={"seg": {}}, img_size=HW, model_hw=(HW, HW))
 
 
+def test_checkpoint_is_qat_sidecar(tmp_path):
+    """The int8 gate reminder's predicate (VERDICT r4 item 7): True only for
+    a sidecar recording qat=true; missing/absent/corrupt sidecars are
+    conservatively non-QAT (the CLI then warns before quantized serving)."""
+    from onestop_tpu.serve import checkpoint_is_qat
+
+    ck = tmp_path / "m.msgpack"
+    ck.write_bytes(b"")
+    assert not checkpoint_is_qat(ck)                   # no sidecar
+    (tmp_path / "m.msgpack.json").write_text(json.dumps({"val_dice": 0.9}))
+    assert not checkpoint_is_qat(ck)                   # predates 'qat' field
+    (tmp_path / "m.msgpack.json").write_text(
+        json.dumps({"val_dice": 0.9, "qat": False}))
+    assert not checkpoint_is_qat(ck)
+    (tmp_path / "m.msgpack.json").write_text(
+        json.dumps({"val_dice": 0.9, "qat": True}))
+    assert checkpoint_is_qat(ck)
+    (tmp_path / "m.msgpack.json").write_text("not json {")
+    assert not checkpoint_is_qat(ck)                   # corrupt -> warn
+
+
 def test_serve_cli_main_end_to_end(volumes, models, tmp_path, monkeypatch):
     """`python -m onestop_tpu.serve` wiring: checkpoint loading (BN constants
     threaded from ModelConfig), config slice window, --interpret CPU path,
