@@ -1,5 +1,11 @@
-"""Deployment-recipe study: train the PROMOTED serving chain (ld112 law)
-with the bed-robust CV recipe and gate it on the serving arms.
+"""Deployment-recipe study: train the PROMOTED serving chain with the
+bed-robust CV recipe and gate it on the serving arms.
+
+``--lung-dim`` selects the law (112 = the round-4 study, artifact
+round4_chain_recipe.json; 64 = the round-5 promoted chained default,
+artifact round5_chain_recipe_ld64.json). Every arm also evaluates the
+MIXED split (bf16 lung + int8 infection, ``serve_int8.chained_infer_mixed``)
+— the promoted serving config — alongside bf16 and all-int8.
 
 The round-4 CV study (RESULTS.md, round4_cv_aug*.json) found two training
 ingredients with different jobs:
@@ -60,7 +66,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arms", nargs="*", default=["aug_qat_160"],
                     choices=list(ARMS))
+    ap.add_argument("--lung-dim", type=int, default=112)
     args = ap.parse_args()
+    ld = args.lung_dim
 
     import jax.numpy as jnp
     import numpy as np
@@ -70,9 +78,10 @@ def main():
     from onestop_tpu.data.ingest import _kernel_mask, _to_u8
     from onestop_tpu.production import chained_infer
     from onestop_tpu.serve import calibrate_quant
-    from onestop_tpu.serve_int8 import chained_infer_int8
+    from onestop_tpu.serve_int8 import chained_infer_int8, chained_infer_mixed
 
-    path = "artifacts_tpu/round4_chain_recipe.json"
+    path = ("artifacts_tpu/round4_chain_recipe.json" if ld == 112
+            else f"artifacts_tpu/round5_chain_recipe_ld{ld}.json")
     out = {}
     if os.path.exists(path):
         with open(path) as f:
@@ -89,20 +98,21 @@ def main():
 
     t3 = C.task3_lung()
     t3 = dataclasses.replace(
-        t3, preprocess=dataclasses.replace(t3.preprocess, new_dim=112),
-        model=dataclasses.replace(t3.model, in_size=112))
+        t3, preprocess=dataclasses.replace(t3.preprocess, new_dim=ld),
+        model=dataclasses.replace(t3.model, in_size=ld))
     lung_model = R._build_unet(t3)
     seg_model = R._build_unet(task1)
 
     for arm in args.arms:
         aug, qat, epochs = ARMS[arm]
         t0 = time.time()
+        tag = "r4_chain_recipe" if ld == 112 else f"r5_chain_recipe_ld{ld}"
         res = R.runner_production_chain(
-            out_dir=f"artifacts_tpu/r4_chain_recipe/{arm}", lung_dim=112,
+            out_dir=f"artifacts_tpu/{tag}/{arm}", lung_dim=ld,
             qat=qat, use_augmentation=aug, epochs=epochs,
             cache_dir="artifacts_tpu/cache_r2", save_figures=False, **KW)
         rec = {
-            "lung_dim": 112, "qat": qat, "use_augmentation": aug,
+            "lung_dim": ld, "qat": qat, "use_augmentation": aug,
             "epochs": epochs,
             "lung_val_dice": res["lung_val_dice"],
             "infection_val_dice": res["infection_val_dice"],
@@ -117,16 +127,25 @@ def main():
 
         m, b1, b2 = chained_infer(lung_model, lv, seg_model, sv, raw_u8,
                                   model_hw=(d, d), threshold=0.5,
-                                  lung_hw=(112, 112))
+                                  lung_hw=(ld, ld))
         tgt = _kernel_mask(inf_u8, b1, b2, (d, d // 2)) / 255.0 > 0.5
         rec["dice_bf16"] = _dice(m, tgt)
 
         quant = calibrate_quant(np.asarray(raw_u8), lung_model, lv,
                                 seg_model, sv, model_hw=(d, d),
-                                lung_hw=(112, 112), n_cal=8)
+                                lung_hw=(ld, ld), n_cal=8)
+        # the PROMOTED serving config: bf16 lung + int8 infection
+        mm, b1m, b2m = chained_infer_mixed(
+            lung_model, lv, seg_model, quant["seg"], sv, raw_u8,
+            model_hw=(d, d), threshold=0.5, lung_hw=(ld, ld),
+            refine_boxes=True)
+        tgtm = _kernel_mask(inf_u8, b1m, b2m, (d, d // 2)) / 255.0 > 0.5
+        rec["dice_mixed"] = _dice(mm, tgtm)
+        rec["mixed_minus_bf16"] = rec["dice_mixed"] - rec["dice_bf16"]
+
         m8, b1q, b2q = chained_infer_int8(
             lung_model, quant["lung"], lv, seg_model, quant["seg"], sv,
-            raw_u8, model_hw=(d, d), threshold=0.5, lung_hw=(112, 112),
+            raw_u8, model_hw=(d, d), threshold=0.5, lung_hw=(ld, ld),
             refine_boxes=True)
         tgt8 = _kernel_mask(inf_u8, b1q, b2q, (d, d // 2)) / 255.0 > 0.5
         rec["dice_int8"] = _dice(m8, tgt8)
