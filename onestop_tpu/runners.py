@@ -727,7 +727,8 @@ def runner_classification(
 
     ckpt = out_path / metric_stamped_name("covid_classifier", report["auc"], "auc")
     save_checkpoint(ckpt, state.params, state.batch_stats,
-                    {"auc": report["auc"], "qat": task_cfg.train.qat})
+                    {"auc": report["auc"], "qat": task_cfg.train.qat,
+                     "cls_head": task_cfg.model.cls_head})
     results = {
         "name": "covid_classification", "auc": report["auc"],
         "report": report["at_threshold"],

@@ -389,6 +389,25 @@ def checkpoint_is_qat(ckpt_path) -> bool:
         return False
 
 
+def checkpoint_cls_head(ckpt_path) -> str | None:
+    """The ``cls_head`` recorded in a classifier checkpoint's sidecar JSON
+    ('flatten' | 'gap'), or None for pre-round-5 sidecars. The head is the
+    checkpoint's physical topology (a GAP checkpoint has a 64-wide fc0, a
+    flatten one ~1.6 M params there), so the sidecar — not the CLI flag —
+    is authoritative at serving time."""
+    import json as _json
+    from pathlib import Path
+
+    side = Path(str(ckpt_path) + ".json")
+    if not side.exists():
+        return None
+    try:
+        head = _json.loads(side.read_text()).get("cls_head")
+    except (ValueError, OSError):
+        return None
+    return head if head in ("flatten", "gap") else None
+
+
 def _load_vars(model, path, in_hw):
     # canonical implementation lives with the checkpoint format; kept as an
     # alias because the study scripts import it from here
@@ -410,6 +429,7 @@ def main(argv=None):
     volume-serving pipeline. Prints one JSON summary line per volume (and
     optionally appends them to ``--out`` as JSONL)."""
     import argparse
+    import sys
 
     from onestop_tpu import config as C
     from onestop_tpu.models import ClassifierCNN, UNet
@@ -468,12 +488,17 @@ def main(argv=None):
     cls_model = cls_vars = None
     if args.cls:
         mc = C.task2_classification().model
+        head = checkpoint_cls_head(args.cls) or args.cls_head
+        if head != args.cls_head:
+            print(f"note: {args.cls} sidecar records cls_head={head!r}; "
+                  f"using it (overrides --cls-head {args.cls_head})",
+                  file=sys.stderr)
         cls_model = ClassifierCNN(widths=tuple(mc.cls_widths),
                                   dense=mc.cls_dense,
                                   bn_momentum=mc.bn_momentum,
                                   bn_epsilon=mc.bn_epsilon,
                                   dtype=jnp.bfloat16,
-                                  head=args.cls_head)
+                                  head=head)
         cd = args.cls_dim or d
         cls_vars = _load_vars(cls_model, args.cls, (cd, cd))
 

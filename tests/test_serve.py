@@ -179,6 +179,30 @@ def test_checkpoint_is_qat_sidecar(tmp_path):
     assert not checkpoint_is_qat(ck)                   # corrupt -> warn
 
 
+def test_checkpoint_cls_head_sidecar(tmp_path):
+    """The classifier head is the checkpoint's physical topology, so the
+    sidecar's ``cls_head`` must win over --cls-head at serving time; sidecars
+    predating the field (or corrupt) return None so the CLI flag applies."""
+    from onestop_tpu.serve import checkpoint_cls_head
+
+    ck = tmp_path / "c.msgpack"
+    ck.write_bytes(b"")
+    assert checkpoint_cls_head(ck) is None             # no sidecar
+    (tmp_path / "c.msgpack.json").write_text(json.dumps({"auc": 0.9}))
+    assert checkpoint_cls_head(ck) is None             # predates the field
+    (tmp_path / "c.msgpack.json").write_text(
+        json.dumps({"auc": 0.9, "cls_head": "gap"}))
+    assert checkpoint_cls_head(ck) == "gap"
+    (tmp_path / "c.msgpack.json").write_text(
+        json.dumps({"auc": 0.9, "cls_head": "flatten"}))
+    assert checkpoint_cls_head(ck) == "flatten"
+    (tmp_path / "c.msgpack.json").write_text(
+        json.dumps({"auc": 0.9, "cls_head": "bogus"}))
+    assert checkpoint_cls_head(ck) is None             # unknown value
+    (tmp_path / "c.msgpack.json").write_text("not json {")
+    assert checkpoint_cls_head(ck) is None             # corrupt
+
+
 def test_serve_cli_main_end_to_end(volumes, models, tmp_path, monkeypatch):
     """`python -m onestop_tpu.serve` wiring: checkpoint loading (BN constants
     threaded from ModelConfig), config slice window, --interpret CPU path,
