@@ -918,9 +918,15 @@ def runner_production_chain(
         cls_kw = {"epochs": task1.train.epochs} if small_run else {}
         if qat:
             cls_kw["qat"] = True
+        # the chain's aug flag reaches the classifier too: with the default
+        # flatten head augmentation measurably HURTS transfer
+        # (round4_cls_transfer.json — every aug arm below no-aug), but with
+        # cls_head='gap' it is the best measured recipe (held-out AUC 0.938
+        # vs 0.919 no-aug, round5_cls_gap.json)
         cls_res = runner_classification(
             data=(x_cls, y_cls), out_dir=out_dir, small_run=small_run,
             verbose=verbose, mesh=mesh, save_figures=save_figures,
+            use_augmentation=use_augmentation,
             cls_dim=cls_dim, cls_head=cls_head, **cls_kw)
         m2 = task2.model
         cls_model = ClassifierCNN(

@@ -137,13 +137,25 @@ def test_production_chain_runner(tmp_path):
 
 
 @pytest.mark.slow
-def test_production_chain_runner_one_stop_classify(tmp_path):
+def test_production_chain_runner_one_stop_classify(tmp_path, monkeypatch):
     """Menu 'seven' --classify: the full one-stop chain (lung seg +
     infection seg + classification) trains all three models and reports the
     chain's classification quality on the held-out case."""
+    seen = {}
+    orig_cls = R.runner_classification
+
+    def spy(*a, **k):
+        seen.update(k)
+        return orig_cls(*a, **k)
+
+    monkeypatch.setattr(R, "runner_classification", spy)
     res = R.runner_production_chain(out_dir=tmp_path, small_run=True,
                                     classify=True, cls_dim=32, n_synthetic=3,
+                                    use_augmentation="batch",
                                     synth_hw=128, synth_slices=10)
+    # the chain's aug flag must reach the classifier stage too (the GAP
+    # transfer recipe is aug-dependent, round5_cls_gap.json)
+    assert seen.get("use_augmentation") == "batch"
     assert 0 <= res["dice_chained"] <= 1
     assert 0 <= res["cls_accuracy_at_0.5"] <= 1
     assert res["classifier"] is not None
