@@ -433,27 +433,43 @@ def main():
                                    "--lung-dim", "224"]),
                 ("one_stop_default", ["--one-stop"]))
         for i, (name, flags) in enumerate(arms):
-            remaining = args.total_budget - (time.perf_counter() - _t_start)
-            if remaining < 120.0:  # too little for any real measurement
-                skipped = [n for n, _ in arms[i:]]
-                break
-            try:
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), *flags,
-                     "--no-extras", "--total", str(args.total),
-                     "--chunk", str(args.chunk), "--iters", str(args.iters)],
-                    capture_output=True, text=True,
-                    timeout=min(900.0, remaining - 30.0))
-                line = json.loads(proc.stdout.strip().splitlines()[-1])
-                # a child's watchdog diagnostic is {"value": 0.0, "error":
-                # ...} with rc!=0 — that is a dropped key, not a measurement
-                if (proc.returncode == 0 and "error" not in line
-                        and line.get("value", 0) > 0):
-                    extras[f"{name}_slices_per_sec"] = line["value"]
-                else:
-                    skipped.append(name)
-            except Exception:
+            # the deployment-default arm (#1) gets one retry: tunnel
+            # dispatches can transiently ABORT (r5 driver-sim: the warm
+            # 6.7-min arm failed once, measured fine on re-run), and losing
+            # the promoted config's key to a blip is worse than spending a
+            # second child on it. Historical arms stay single-shot.
+            for attempt in range(2 if i == 0 else 1):
+                remaining = (args.total_budget
+                             - (time.perf_counter() - _t_start))
+                if remaining < 120.0:  # too little for any real measurement
+                    break
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__), *flags,
+                         "--no-extras", "--total", str(args.total),
+                         "--chunk", str(args.chunk),
+                         "--iters", str(args.iters)],
+                        capture_output=True, text=True,
+                        timeout=min(900.0, remaining - 30.0))
+                    line = json.loads(proc.stdout.strip().splitlines()[-1])
+                    # a child's watchdog diagnostic is {"value": 0.0,
+                    # "error": ...} with rc!=0 — a dropped key, not a
+                    # measurement
+                    if (proc.returncode == 0 and "error" not in line
+                            and line.get("value", 0) > 0):
+                        extras[f"{name}_slices_per_sec"] = line["value"]
+                        break
+                except Exception:
+                    pass
+            if f"{name}_slices_per_sec" not in extras:
                 skipped.append(name)
+            remaining = args.total_budget - (time.perf_counter() - _t_start)
+            if remaining < 120.0:
+                # extend, don't assign: names already skipped above must
+                # survive the budget cut (r5 driver-sim lost the failed
+                # default arm from the record to exactly this overwrite)
+                skipped.extend(n for n, _ in arms[i + 1:])
+                break
         if "chained_noGT_default_slices_per_sec" in extras:
             # a stable name pinning today's default's exact config
             # (--chained --lung-dim 64 --int8) — aliased, not re-measured;
