@@ -47,6 +47,20 @@ N_CAL = 3
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=11,
+                    help="phantom-bed seed (11 = the round-4/5 transfer bed;"
+                         " any other runs a replication bed and writes a"
+                         " _seed{N}-tagged artifact/out dir)")
+    ap.add_argument("--arms", nargs="*",
+                    default=["flatten_noaug", "gap_noaug", "gap_aug_batch"])
+    args = ap.parse_args()
+    KW["seed"] = args.seed
+    tag = "" if args.seed == 11 else f"_seed{args.seed}"
+    path = f"artifacts_tpu/round5_cls_gap{tag}.json"
+
     from onestop_tpu import config as C
     from onestop_tpu import runners as R
     from onestop_tpu.data.ingest import build_classification_dataset
@@ -76,12 +90,13 @@ def main():
     print(json.dumps({k: out[k] for k in ("train_slices", "train_balance")}),
           flush=True)
 
-    for arm, head, aug in (("flatten_noaug", None, False),
-                           ("gap_noaug", "gap", False),
-                           ("gap_aug_batch", "gap", "batch")):
+    arm_defs = {"flatten_noaug": (None, False), "gap_noaug": ("gap", False),
+                "gap_aug_batch": ("gap", "batch")}
+    for arm in args.arms:
+        head, aug = arm_defs[arm]
         t1 = time.time()
         res = R.runner_classification(
-            data=(x_tr, y_tr), out_dir=f"artifacts_tpu/r5_cls_gap/{arm}",
+            data=(x_tr, y_tr), out_dir=f"artifacts_tpu/r5_cls_gap{tag}/{arm}",
             use_augmentation=aug, save_figures=False, cls_head=head)
         state, trainer = res["state"], res["trainer"]
 
@@ -113,9 +128,9 @@ def main():
         out["arms"][arm] = arm_out
         print(json.dumps({arm: arm_out}), flush=True)
         os.makedirs("artifacts_tpu", exist_ok=True)
-        with open("artifacts_tpu/round5_cls_gap.json", "w") as f:
+        with open(path, "w") as f:
             json.dump(out, f, indent=2)
-    print("wrote artifacts_tpu/round5_cls_gap.json")
+    print("wrote", path)
 
 
 if __name__ == "__main__":
